@@ -1,0 +1,95 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import functions as F
+
+    from ddsketch_ruby_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from ddsketch_ruby_spark.operators.quantiles import (
+        ddsketch_quantiles,
+        ddsketch_quantiles_long,
+    )
+    from ddsketch_ruby_spark.sources.session import get_spark
+    from ddsketch_ruby_spark.sources.tables import table
+
+    spark = get_spark("bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    events = table(spark, sf_dir, "events")
+    lineitem = table(spark, sf_dir, "lineitem")
+    documents = table(spark, sf_dir, "documents")
+
+    # warm the JVM + Arrow path once
+    events.limit(10).count()
+
+    def bench(fn):
+        t0 = time.monotonic()
+        fn()
+        return round(time.monotonic() - t0, 3)
+
+    queries = {
+        "ddsketch_events_global": lambda: ddsketch_quantiles(
+            events, "value", quantiles=(0.5, 0.95, 0.99)
+        ).collect(),
+        "ddsketch_events_by_type": lambda: ddsketch_quantiles(
+            events, "value", group_by=["event_type"], quantiles=(0.5, 0.95, 0.99)
+        ).collect(),
+        "ddsketch_lineitem_by_flag": lambda: ddsketch_quantiles_long(
+            lineitem.filter(F.col("l_extendedprice") > 0),
+            "l_extendedprice",
+            ["l_returnflag"],
+        ).collect(),
+        "ddsketch_doclen_by_lang": lambda: ddsketch_quantiles(
+            documents, "n_chars", group_by=["lang"], quantiles=(0.5, 0.99)
+        ).collect(),
+        "exact_dedup_documents": lambda: exact_dedup(
+            documents, ["text"], "doc_id", hash_key=True
+        ).count(),
+        "minhash_lsh_documents": lambda: minhash_lsh_pairs(
+            documents, "text", "doc_id", num_hashes=64, bands=16
+        ).count(),
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        timings[name] = bench(fn)
+
+    n_rows = events.count() + lineitem.count() + documents.count()
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline sketch+dedup query wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "rows_processed": n_rows,
+                "rows_per_sec": round(n_rows / total, 1) if total else None,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,222 @@
+"""Deduplication operators for web-scale corpora.
+
+- exact_dedup: hash-groupBy exact duplicate collapse (one shuffle on the
+  dedup key; at 100 TB prefer key_cols=[xxhash64(text)] so the shuffle
+  carries 8-byte keys instead of full documents — provided via hash_key).
+- minhash_lsh_dedup: shingle -> minhash signature -> banded LSH buckets ->
+  candidate pairs within buckets. All hashing is vectorized NumPy inside
+  mapInPandas; the only shuffles are the band-bucket groupBys.
+- simhash: 64-bit near-dup fingerprint per document.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs", "simhash"]
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    hash_key: bool = False,
+    keep_columns: bool = False,
+) -> DataFrame:
+    """Collapse exact duplicates over key_cols; keeps the minimum id per
+    group plus the duplicate count.
+
+    hash_key=True groups on xxhash64(key_cols) — the scalable path: the
+    shuffle moves (8B hash, id) instead of the full key payload.
+    """
+    if hash_key:
+        keyed = df.select(
+            F.xxhash64(*key_cols).alias("__key"), F.col(id_col)
+        )
+        grouped = keyed.groupBy("__key")
+    else:
+        grouped = df.select(*key_cols, id_col).groupBy(*key_cols)
+    out = grouped.agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
+    )
+    if not keep_columns:
+        out = out.select(id_col, "dup_count")
+    return out
+
+
+def _shingle_hashes(text: str, width: int) -> np.ndarray:
+    """Distinct 64-bit hashes of character shingles, vectorized.
+
+    Polynomial rolling hash over a byte window — deterministic and
+    order-sensitive within the window.
+    """
+    data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(data) < width:
+        data = np.pad(data, (0, width - len(data)), constant_values=32)
+    n = len(data) - width + 1
+    # stacked view of all windows: (n, width)
+    windows = np.lib.stride_tricks.sliding_window_view(data, width)
+    coef = np.power(
+        np.uint64(1099511628211), np.arange(width, dtype=np.uint64), dtype=np.uint64
+    )
+    with np.errstate(over="ignore"):
+        h = (windows.astype(np.uint64) * coef).sum(axis=1, dtype=np.uint64)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    return np.unique(h)
+
+
+def _minhash_batch(
+    texts: pd.Series, num_hashes: int, shingle: int, seed: int
+) -> list[np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.uint64)
+    out = []
+    for t in texts:
+        sh = _shingle_hashes(t or "", shingle) % np.uint64(_MERSENNE)
+        if len(sh) == 0:
+            out.append(np.zeros(num_hashes, dtype=np.int64))
+            continue
+        # (num_hashes, n_shingles) permutation values mod Mersenne prime
+        with np.errstate(over="ignore"):
+            vals = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+        out.append(vals.min(axis=1).astype(np.int64))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 128,
+    shingle: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """One minhash signature row per document: (id, sig array<long>)."""
+    out_schema = T.StructType(
+        [
+            next(f for f in df.schema.fields if f.name == id_col),
+            T.StructField("sig", T.ArrayType(T.LongType(), False)),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sigs = _minhash_batch(pdf[text_col], num_hashes, shingle, seed)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle: int = 5,
+    seed: int = 42,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
+    documents sharing any band hash become a candidate pair; pairs are
+    deduped and scored with the estimated Jaccard (fraction of equal
+    signature positions). Shuffle cost: one groupBy on (band, band_hash) of
+    8+8-byte keys — no document text ever shuffles.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle, seed)
+    sig_col = F.col("sig")
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[sig_col[b * rows_per_band + r] for r in range(rows_per_band)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(id_col, "sig", *band_cols)
+    exploded = banded.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(*[F.col(f"band_{b}") for b in range(bands)])
+        ).alias("bucket"),
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = pairs.withColumn(
+        "est_jaccard",
+        F.aggregate(
+            F.zip_with(
+                "sig_a", "sig_b", lambda a, b: (a == b).cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(num_hashes)),
+    ).select("id_a", "id_b", "est_jaccard")
+    if min_jaccard > 0:
+        est = est.filter(F.col("est_jaccard") >= min_jaccard)
+    return est
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, shingle: int = 4
+) -> DataFrame:
+    """64-bit SimHash fingerprint per document (near-dup = small Hamming
+    distance). Vectorized: per-document shingle hashes vote per bit."""
+    out_schema = T.StructType(
+        [
+            next(f for f in df.schema.fields if f.name == id_col),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hashes = []
+            for t in pdf[text_col]:
+                sh = _shingle_hashes(t or "", shingle)
+                if len(sh) == 0:
+                    hashes.append(0)
+                    continue
+                votes = ((sh[:, None] >> bits[None, :]) & np.uint64(1)).sum(axis=0)
+                fp = np.uint64(0)
+                for i in range(64):
+                    if votes[i] * 2 >= len(sh):
+                        fp |= np.uint64(1) << np.uint64(i)
+                hashes.append(int(fp.astype(np.int64)))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "simhash": hashes})
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)

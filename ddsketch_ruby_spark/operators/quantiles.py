@@ -1,0 +1,111 @@
+"""High-level DDSketch quantile operators over DataFrames.
+
+This is the flagship query shape (SURVEY.md §7.3): select -> per-partition
+sketch build -> merge shuffle of sketch rows -> quantile extraction.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+
+from pyspark.sql import functions as F
+
+from ..kernel import DEFAULT_BIN_LIMIT, DEFAULT_REL_ACC
+from ..kernel.store import COLLAPSE_LOWEST
+from ..sketches.ddsketch_spec import DDSketchSpec, quantile_col_name
+from .agg import sketch_agg
+
+__all__ = ["ddsketch_quantiles", "ddsketch_quantiles_long", "ddsketch_state"]
+
+
+def _quantile_map(quantiles) -> dict[str, float]:
+    if isinstance(quantiles, dict):
+        return dict(quantiles)
+    return {quantile_col_name(q): float(q) for q in quantiles}
+
+
+def ddsketch_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_by: Iterable[str] = (),
+    quantiles: Iterable[float] | dict[str, float] = (0.5, 0.95, 0.99),
+    relative_accuracy: float = DEFAULT_REL_ACC,
+    store_type: str = COLLAPSE_LOWEST,
+    bin_limit: int = DEFAULT_BIN_LIMIT,
+    mapping: str = "logarithmic",
+    weight_col: str | None = None,
+    include_stats: bool = True,
+    value_formula: str = "reference",
+    tree_fanin: int | None = None,
+) -> DataFrame:
+    """One row per group: requested quantile columns (+ exact count/sum/
+    min/max/avg, which the sketch tracks exactly and a SQL oracle can
+    verify)."""
+    spec = DDSketchSpec(
+        relative_accuracy,
+        store_type,
+        bin_limit,
+        mapping,
+        quantiles=_quantile_map(quantiles),
+        include_stats=include_stats,
+        value_formula=value_formula,
+    )
+    return sketch_agg(
+        df, spec, value_col, group_by, weight_col, output="result",
+        tree_fanin=tree_fanin,
+    )
+
+
+def ddsketch_quantiles_long(
+    df: DataFrame,
+    value_col: str,
+    group_by: Iterable[str] = (),
+    quantiles: Iterable[float] | dict[str, float] = (0.5, 0.95, 0.99),
+    relative_accuracy: float = DEFAULT_REL_ACC,
+    round_to: int = 6,
+    tree_fanin: int | None = None,
+) -> DataFrame:
+    """Long format: one row per (group, quantile) with columns
+    (group..., qname, qvalue). Uses the 'pow' value formula
+    (gamma**key * 2/(1+gamma)) so an ANSI-SQL oracle with POWER() is
+    bit-compatible; rounded to ``round_to`` decimals on both sides."""
+    group_by = list(group_by)
+    qmap = _quantile_map(quantiles)
+    wide = ddsketch_quantiles(
+        df,
+        value_col,
+        group_by,
+        qmap,
+        relative_accuracy,
+        include_stats=False,
+        value_formula="pow",
+        tree_fanin=tree_fanin,
+    )
+    stack_args = ", ".join(
+        f"'{name}', round({name}, {round_to})" for name in qmap
+    )
+    expr = f"stack({len(qmap)}, {stack_args}) as (qname, qvalue)"
+    return wide.select(*group_by, F.expr(expr))
+
+
+def ddsketch_state(
+    df: DataFrame,
+    value_col: str,
+    group_by: Iterable[str] = (),
+    relative_accuracy: float = DEFAULT_REL_ACC,
+    store_type: str = COLLAPSE_LOWEST,
+    bin_limit: int = DEFAULT_BIN_LIMIT,
+    mapping: str = "logarithmic",
+    weight_col: str | None = None,
+    tree_fanin: int | None = None,
+) -> DataFrame:
+    """One mergeable sketch-state row per group (persist / merge later)."""
+    spec = DDSketchSpec(
+        relative_accuracy, store_type, bin_limit, mapping, include_stats=False
+    )
+    return sketch_agg(
+        df, spec, value_col, group_by, weight_col, output="state",
+        tree_fanin=tree_fanin,
+    )

@@ -1,0 +1,91 @@
+"""Replicates the driver's correctness gate locally: runs every
+__spark_entry__.queries() entry at sf0.01 and compares against
+oracle_sql() via DuckDB — row count, schema (column names), and
+order-insensitive values.
+
+Usage: python scripts/check_oracles.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from ddsketch_ruby_spark.sources.session import get_spark  # noqa: E402
+from ddsketch_ruby_spark.sources.tables import TABLE_NAMES  # noqa: E402
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return v
+    return v
+
+
+def _rows_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm_cell(r[i]) for i in order) for r in rows
+    ), [cols[i] for i in order]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check-oracles", cpus=8, shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sdf.columns
+        if name not in oracles:
+            print(f"{name}: rows-only check — {len(srows)} rows "
+                  f"({'OK' if len(srows) >= 0 else '??'})")
+            continue
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        s_ms, s_cols = _rows_multiset(scols, [tuple(r) for r in srows])
+        d_ms, d_cols = _rows_multiset(dcols, drows)
+        ok_schema = s_cols == d_cols
+        ok_count = len(s_ms) == len(d_ms)
+        ok_values = s_ms == d_ms
+        status = "PASS" if (ok_schema and ok_count and ok_values) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{name}: {status} (schema={ok_schema} rows={len(s_ms)}/{len(d_ms)} "
+              f"values={ok_values})")
+        if not ok_schema:
+            print(f"  spark cols: {s_cols}\n  duck  cols: {d_cols}")
+        if ok_schema and not ok_values:
+            diffs = [
+                (a, b) for a, b in zip(s_ms, d_ms) if a != b
+            ][:5]
+            for a, b in diffs:
+                print(f"  spark: {a}\n  duck : {b}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,146 @@
+"""Distributed DDSketch tests (SURVEY.md §5.6 tier b): partition-count
+invariance, merge-path equivalence, accuracy vs the exact sort oracle on
+the driver tables, scan pruning."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ddsketch_ruby_spark.operators.agg import sketch_agg, sketch_partials
+from ddsketch_ruby_spark.operators.quantiles import ddsketch_quantiles, ddsketch_state
+from ddsketch_ruby_spark.sketches.ddsketch_spec import DDSketchSpec
+from ddsketch_ruby_spark.sources.tables import table
+
+QS = (0.1, 0.5, 0.9, 0.95, 0.99)
+ALPHA = 0.01
+
+
+def exact_quantiles(values: np.ndarray, qs=QS) -> dict[float, float]:
+    s = np.sort(values)
+    return {q: float(s[int(q * (len(s) - 1))]) for q in qs}
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return table(spark, sf_dir, "events")
+
+
+def test_accuracy_vs_exact_oracle(spark, events):
+    vals = np.array(
+        [r.value for r in events.select("value").collect()], dtype=np.float64
+    )
+    res = ddsketch_quantiles(events, "value", quantiles=QS).collect()[0].asDict()
+    oracle = exact_quantiles(vals)
+    for q, exact in oracle.items():
+        from ddsketch_ruby_spark.sketches.ddsketch_spec import quantile_col_name
+
+        got = res[quantile_col_name(q)]
+        assert abs(got - exact) - ALPHA * abs(exact) <= 1e-15
+    assert res["count"] == len(vals)
+    assert abs(res["sum"] - vals.sum()) <= 1e-6 * abs(vals.sum())
+    assert res["min"] == vals.min()
+    assert res["max"] == vals.max()
+
+
+@pytest.mark.parametrize("partitions", [1, 4, 16])
+def test_partition_count_invariance(spark, events, partitions):
+    """Same sketch buckets regardless of how rows are partitioned — the
+    distributed analogue of merge order-insensitivity."""
+    df = events.repartition(partitions)
+    state = ddsketch_state(df, "value").collect()[0].asDict()
+    base = ddsketch_state(events.coalesce(1), "value").collect()[0].asDict()
+    assert state["pos_offset"] == base["pos_offset"]
+    assert list(state["pos_bins"]) == list(base["pos_bins"])
+    assert state["count"] == base["count"]
+    assert state["zero_count"] == base["zero_count"]
+    assert state["min"] == base["min"] and state["max"] == base["max"]
+
+
+def test_tree_fanin_equivalence(spark, events):
+    df = events.repartition(16)
+    flat = ddsketch_state(df, "value").collect()[0].asDict()
+    tree = ddsketch_state(df, "value", tree_fanin=3).collect()[0].asDict()
+    assert list(flat["pos_bins"]) == list(tree["pos_bins"])
+    assert flat["pos_offset"] == tree["pos_offset"]
+    assert flat["count"] == tree["count"]
+
+
+def test_grouped_accuracy(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    res = {
+        r["lang"]: r.asDict()
+        for r in ddsketch_quantiles(
+            docs, "n_chars", group_by=["lang"], quantiles=(0.5, 0.99)
+        ).collect()
+    }
+    rows = docs.select("lang", "n_chars").collect()
+    by_lang: dict[str, list[float]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(float(r.n_chars))
+    assert set(res) == set(by_lang)
+    for lang, vals in by_lang.items():
+        oracle = exact_quantiles(np.array(vals), (0.5, 0.99))
+        assert res[lang]["count"] == len(vals)
+        for q, exact in oracle.items():
+            name = "q50" if q == 0.5 else "q99"
+            got = res[lang][name]
+            assert abs(got - exact) - ALPHA * abs(exact) <= 1e-15, (lang, q)
+
+
+def test_weighted_agg(spark):
+    sdf = spark.createDataFrame(
+        [(float(v), 1.1) for v in range(100)] + [(100.0, 110.0)],
+        "value double, w double",
+    )
+    res = (
+        ddsketch_quantiles(sdf, "value", weight_col="w", quantiles=(0.5,))
+        .collect()[0]
+        .asDict()
+    )
+    # FIXTURES.md §5 exact expectations
+    assert abs(res["count"] - 220.0) <= 1e-9
+    assert abs(res["sum"] - 16445.0) <= 1e-9
+    assert abs(res["avg"] - 74.75) <= 1e-9
+    assert abs(res["q50"] - 99.0) <= ALPHA * 99.0 + 1e-15
+
+
+def test_nulls_and_empty_groups(spark):
+    sdf = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", 2.0), (None, 3.0)],
+        "k string, value double",
+    )
+    rows = {
+        r["k"]: r.asDict()
+        for r in ddsketch_quantiles(sdf, "value", group_by=["k"]).collect()
+    }
+    assert rows["a"]["count"] == 1.0  # null value dropped
+    assert rows["b"]["count"] == 1.0
+    assert rows[None]["count"] == 1.0  # null group key preserved
+
+
+def test_scan_pruning(spark, events):
+    """Column pruning must reach the parquet scan: the engine selects only
+    the value column, so ReadSchema contains just it."""
+    plan = ddsketch_state(events, "value")._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    assert m.group(1).split(":")[0] == "value" and "," not in m.group(1), m.group(1)
+
+
+def test_spark_matches_kernel(spark, events):
+    """The distributed result must equal a single-process kernel run."""
+    from ddsketch_ruby_spark.kernel import DDSketch
+
+    vals = np.array(
+        [r.value for r in events.select("value").collect()], dtype=np.float64
+    )
+    local = DDSketch.collapsing_lowest(0.01, 2048)
+    local.add_batch(vals)
+    dist = ddsketch_state(events.repartition(8), "value").collect()[0].asDict()
+    assert list(dist["pos_bins"]) == local.store.bins.tolist()
+    assert dist["pos_offset"] == local.store.offset
+    assert dist["zero_count"] == local.zero_count
+    assert dist["count"] == local.count
