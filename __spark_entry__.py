@@ -54,7 +54,10 @@ WITH vals AS (
   FROM {table} WHERE {value_expr} > 0
 ),
 hist AS (
-  SELECT {g_comma}CAST(CEIL(LOG2(v) * {MULT!r}) AS BIGINT) AS k,
+  -- key = ceil(log2(v) * multiplier); LN(v)/LN(2.0) mirrors Spark's LOG2
+  -- implementation (ln ratio) op-for-op so the oracle is bit-compatible
+  -- with the JVM fast path (operators/ddsketch_jvm.py)
+  SELECT {g_comma}CAST(CEIL(LN(v) / LN(2.0) * {MULT!r}) AS BIGINT) AS k,
          CAST(COUNT(*) AS DOUBLE) AS c
   FROM vals GROUP BY {g_comma}k
 ),
@@ -140,12 +143,202 @@ def _q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, key_cols=["text"], id_col="doc_id")
 
 
+def _q_ddsketch_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sketch: l_quantity weighted by l_linenumber (>0)."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_quantiles
+
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    wide = ddsketch_quantiles(
+        li.withColumn("w", F.col("l_linenumber").cast("double")),
+        "l_quantity",
+        quantiles={"q50": 0.5, "q95": 0.95},
+        weight_col="w",
+        include_stats=False,
+        value_formula="pow",
+    )
+    return wide.select(
+        F.expr("stack(2, 'q50', round(q50, 6), 'q95', round(q95, 6)) "
+               "as (qname, qvalue)")
+    )
+
+
+def _q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddsketch_ruby_spark.functions.text import avg_token_len, token_count
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    per_doc = docs.select("lang", token_count("text"), avg_token_len("text"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("token_count").alias("total_tokens"),
+        F.round(F.avg("token_count"), 6).alias("avg_tokens"),
+        F.round(F.avg("avg_token_len"), 6).alias("avg_token_len"),
+    )
+
+
+def _q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddsketch_ruby_spark.functions.text import lang_id
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text"))
+
+
+def _q_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddsketch_ruby_spark.functions.text import digit_ratio, quality_score
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    per_doc = docs.select("lang", quality_score("text"), digit_ratio("text"))
+    return per_doc.groupBy("lang").agg(
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.round(F.avg("digit_ratio"), 6).alias("avg_digit_ratio"),
+    )
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddsketch_ruby_spark.operators.similarity import cosine_topk
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return cosine_topk(emb, "embedding", "vec_id", query, k=10)
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddsketch_ruby_spark.operators.dedup import minhash_lsh_pairs
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=64, bands=16, min_jaccard=0.5
+    )
+
+
+def _q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddsketch_ruby_spark.operators.dedup import simhash
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id")
+
+
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddsketch_ruby_spark.functions.text import doc_fingerprint
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text"))
+
+
+def _q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddsketch_ruby_spark.operators.agg import sketch_agg
+    from ddsketch_ruby_spark.sketches.hll import HLLSpec
+
+    (events,) = _tables(spark, sf_dir, "events")
+    hashed = events.select("event_type", F.xxhash64("user_id").alias("h"))
+    res = sketch_agg(hashed, HLLSpec(p=14), "h", ["event_type"])
+    return res.select("event_type", F.round("approx_distinct", 3).alias("approx_distinct"))
+
+
+def _q_tdigest_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddsketch_ruby_spark.operators.agg import sketch_agg
+    from ddsketch_ruby_spark.sketches.tdigest import TDigestSpec
+
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    return sketch_agg(
+        li, TDigestSpec(delta=200), "l_extendedprice", ["l_returnflag"]
+    )
+
+
+def _q_kll_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddsketch_ruby_spark.operators.agg import sketch_agg
+    from ddsketch_ruby_spark.sketches.kll import KLLSpec
+
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    return sketch_agg(li, KLLSpec(k=200), "l_quantity", [])
+
+
+def _q_cms_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates for the 20 most-ordered parts —
+    estimates must be >= true counts (one-sided), checked in pytest."""
+    from ddsketch_ruby_spark.operators.agg import sketch_agg
+    from ddsketch_ruby_spark.sketches.cms import CMSSpec
+
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    spec = CMSSpec(width=8192, depth=5)
+    hashed = li.select(F.xxhash64("l_partkey").alias("h"))
+    state_rows = sketch_agg(hashed, spec, "h", [], output="state").collect()
+    state = spec.row_to_state(state_rows[0].asDict())
+    top = (
+        li.groupBy("l_partkey")
+        .count()
+        .orderBy(F.desc("count"), "l_partkey")
+        .limit(20)
+        .collect()
+    )
+    keys = [r["l_partkey"] for r in top]
+    key_hashes = [
+        r["h"]
+        for r in spark.createDataFrame([(k,) for k in keys], "l_partkey long")
+        .select(F.xxhash64("l_partkey").alias("h"))
+        .collect()
+    ]
+    est = spec.estimate(state, key_hashes)
+    return spark.createDataFrame(
+        [(int(k), float(e)) for k, e in zip(keys, est)],
+        "l_partkey long, est_count double",
+    )
+
+
+def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter over orders' customers, probed with all customers —
+    no false negatives by construction (verified in pytest)."""
+    from ddsketch_ruby_spark.operators.agg import sketch_agg
+    from ddsketch_ruby_spark.sketches.bloom import BloomSpec
+
+    orders, customer = _tables(spark, sf_dir, "orders", "customer")
+    spec = BloomSpec(expected_items=200_000, fpp=0.01)
+    hashed = orders.select(F.xxhash64("o_custkey").alias("h"))
+    state_rows = sketch_agg(hashed, spec, "h", [], output="state").collect()
+    state = spec.row_to_state(state_rows[0].asDict())
+    cust = customer.select(
+        "c_custkey", F.xxhash64("c_custkey").alias("h")
+    ).collect()
+    member = spec.contains(state, [r["h"] for r in cust])
+    return spark.createDataFrame(
+        [(r["c_custkey"], bool(m)) for r, m in zip(cust, member)],
+        "c_custkey long, maybe_member boolean",
+    )
+
+
+def _q_ddsketch_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cubically-interpolated mapping (python/Arrow engine) — rows-only;
+    accuracy bound-checked in pytest."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_quantiles
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return ddsketch_quantiles(
+        events, "value", quantiles=(0.5, 0.99), mapping="cubic", engine="python"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_events_quantiles": _q_events_quantiles,
     "ddsketch_doclen_by_lang": _q_doclen_by_lang,
     "ddsketch_price_by_returnflag": _q_price_by_returnflag,
     "ddsketch_stats_events": _q_sketch_stats_events,
+    "ddsketch_weighted_quantity": _q_ddsketch_weighted,
+    "ddsketch_cubic_events": _q_ddsketch_cubic,
     "exact_dedup_documents": _q_exact_dedup_documents,
+    "token_stats_by_lang": _q_token_stats_by_lang,
+    "langid_documents": _q_langid_documents,
+    "quality_by_lang": _q_quality_by_lang,
+    "cosine_topk_embeddings": _q_cosine_topk,
+    "minhash_near_dup_pairs": _q_minhash_pairs,
+    "simhash_documents": _q_simhash_documents,
+    "doc_fingerprints": _q_doc_fingerprints,
+    "hll_users_by_type": _q_hll_users_by_type,
+    "tdigest_price_by_returnflag": _q_tdigest_price,
+    "kll_quantity_quantiles": _q_kll_quantity,
+    "cms_heavy_parts": _q_cms_heavy_parts,
+    "bloom_membership": _q_bloom_membership,
 }
 
 ORACLES: dict[str, str] = {
@@ -170,6 +363,131 @@ SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
 FROM documents GROUP BY text
 """,
 }
+
+
+def _weighted_ddsketch_oracle() -> str:
+    """Weighted DDSketch: histogram of SUM(weight) per key, rank over the
+    weighted cumulative count (kernel quantile semantics, weights > 0)."""
+    return f"""
+WITH vals AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS v,
+         CAST(l_linenumber AS DOUBLE) AS w
+  FROM lineitem WHERE l_quantity > 0
+),
+hist AS (
+  SELECT CAST(CEIL(LN(v) / LN(2.0) * {MULT!r}) AS BIGINT) AS k, SUM(w) AS c
+  FROM vals GROUP BY k
+),
+cum AS (SELECT k, SUM(c) OVER (ORDER BY k) AS rc FROM hist),
+n AS (SELECT SUM(w) AS cnt FROM vals),
+qs(qname, q) AS (VALUES ('q50', 0.5), ('q95', 0.95)),
+keys AS (
+  SELECT qs.qname AS qname, MIN(cum.k) AS kq
+  FROM qs CROSS JOIN cum CROSS JOIN n
+  WHERE cum.rc > qs.q * (n.cnt - 1)
+  GROUP BY qs.qname
+)
+SELECT qname, ROUND(POWER({GAMMA!r}, kq) * {COEFF!r}, 6) AS qvalue FROM keys
+"""
+
+
+_TOKENS = "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
+_NSPACES = "(length(trim(text)) - length(replace(trim(text), ' ', '')))"
+
+
+def _occ_sql(needle: str) -> str:
+    """Occurrences of ``needle`` in ' '||lower(trim(text))||' ' — mirrors
+    functions/text.py _occurrences op-for-op (int subtraction, then float
+    division by the needle length)."""
+    p = "(' ' || lower(trim(text)) || ' ')"
+    esc = needle.replace("'", "''")
+    return (
+        f"((length({p}) - length(replace({p}, '{esc}', ''))) / {len(needle)})"
+    )
+
+
+def _langid_oracle() -> str:
+    from ddsketch_ruby_spark.functions.text import _LANG_MARKERS
+
+    score_cols = []
+    for lang in sorted(_LANG_MARKERS):
+        terms = [_occ_sql(f" {w} ") for w in _LANG_MARKERS[lang]]
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = f"({expr} + {t})"
+        score_cols.append(f"{expr} AS s_{lang}")
+    # sequential strict-> argmax == earliest-max closed form
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {", ".join(score_cols)} FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+    WHEN s_es >= s_fr THEN 'es'
+    ELSE 'fr'
+  END AS lang_pred
+FROM scored
+"""
+
+
+_QUALITY_SQL = """
+WITH per_doc AS (
+  SELECT lang,
+    ((LEAST(length(trim(text)) / 500.0, 1.0) * 0.4
+      + (1.0 - LEAST(ABS(((length(trim(text)) - {ns}) / ({ns} + 1)) - 5.0)
+                     / 10.0, 1.0)) * 0.4)
+     + (1.0 - ((length(trim(text))
+                - length(regexp_replace(trim(text), '[0-9]', '', 'g')))
+               / length(trim(text)))) * 0.2) AS quality_score,
+    ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+     / length(text)) AS digit_ratio
+  FROM documents
+)
+SELECT lang, ROUND(AVG(quality_score), 6) AS avg_quality,
+       ROUND(AVG(digit_ratio), 6) AS avg_digit_ratio
+FROM per_doc GROUP BY lang
+""".replace("{ns}", _NSPACES.replace("text", "text"))
+
+
+def _cosine_oracle() -> str:
+    return """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT vec_id,
+         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS sim
+  FROM embeddings CROSS JOIN q
+),
+ranked AS (
+  SELECT vec_id, sim,
+         CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank
+  FROM scored
+)
+SELECT vec_id, sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+ORACLES.update(
+    {
+        "ddsketch_weighted_quantity": _weighted_ddsketch_oracle(),
+        "token_stats_by_lang": f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({_TOKENS}) AS BIGINT) AS total_tokens,
+       ROUND(AVG({_TOKENS}), 6) AS avg_tokens,
+       ROUND(AVG((length(trim(text)) - {_NSPACES}) / ({_NSPACES} + 1)), 6)
+         AS avg_token_len
+FROM documents GROUP BY lang
+""",
+        "langid_documents": _langid_oracle(),
+        "quality_by_lang": _QUALITY_SQL,
+        "cosine_topk_embeddings": _cosine_oracle(),
+    }
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,131 @@
+"""Column-level text analysis for web-scale corpora — all JVM-side
+expressions (whole-stage codegen; zero Python in the hot path).
+
+Each helper returns a Column usable in select/agg; the formulas are pure
+arithmetic over built-in functions so a SQL oracle can reproduce them
+exactly (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count",
+    "avg_token_len",
+    "stopword_ratio",
+    "uppercase_ratio",
+    "digit_ratio",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "TOKEN_COUNT_SQL",
+]
+
+# Single-space token model: tokens = spaces + 1 on trimmed text. Chosen
+# (over regex split) because it is expressible identically in any SQL
+# dialect — the oracle must reproduce it bit-for-bit.
+TOKEN_COUNT_SQL = (
+    "(length(trim({c})) - length(replace(trim({c}), ' ', '')) + 1)"
+)
+
+
+def token_count(c: str) -> Column:
+    t = F.trim(F.col(c))
+    return (
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + F.lit(1)
+    ).alias("token_count")
+
+
+def avg_token_len(c: str) -> Column:
+    t = F.trim(F.col(c))
+    n_spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    return ((F.length(t) - n_spaces) / (n_spaces + F.lit(1))).alias(
+        "avg_token_len"
+    )
+
+
+def _occurrences(c: Column, needle: str) -> Column:
+    return (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit("")))) / len(
+        needle
+    )
+
+
+def stopword_ratio(c: str, stopwords: tuple[str, ...] = ("the", "a", "of", "and")) -> Column:
+    """Fraction of tokens that are common English stopwords — padded-text
+    occurrence counting so word boundaries are exact."""
+    padded = F.concat(F.lit(" "), F.trim(F.col(c)), F.lit(" "))
+    hits = None
+    for w in stopwords:
+        occ = _occurrences(padded, f" {w} ")
+        hits = occ if hits is None else hits + occ
+    t = F.trim(F.col(c))
+    tokens = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + F.lit(1)
+    return (hits / tokens).alias("stopword_ratio")
+
+
+def uppercase_ratio(c: str) -> Column:
+    x = F.col(c)
+    diff = F.length(F.regexp_replace(x, "[A-Z]", ""))
+    return ((F.length(x) - diff) / F.length(x)).alias("uppercase_ratio")
+
+
+def digit_ratio(c: str) -> Column:
+    x = F.col(c)
+    return (
+        (F.length(x) - F.length(F.regexp_replace(x, "[0-9]", ""))) / F.length(x)
+    ).alias("digit_ratio")
+
+
+def quality_score(c: str) -> Column:
+    """Heuristic document quality in [0,1]: rewards mid-length docs and
+    normal token lengths, penalizes digit soup. Deterministic arithmetic."""
+    t = F.trim(F.col(c))
+    length = F.length(t)
+    n_spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    tokens = n_spaces + F.lit(1)
+    atl = (length - n_spaces) / tokens
+    len_score = F.least(length / F.lit(500.0), F.lit(1.0))
+    atl_score = F.lit(1.0) - F.least(F.abs(atl - F.lit(5.0)) / F.lit(10.0), F.lit(1.0))
+    dr = (length - F.length(F.regexp_replace(t, "[0-9]", ""))) / length
+    return (
+        (len_score * F.lit(0.4) + atl_score * F.lit(0.4) + (F.lit(1.0) - dr) * F.lit(0.2))
+    ).alias("quality_score")
+
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    # stopword n-gram markers per language (classic heuristic language ID)
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "und", "das", "ist"),
+    "fr": ("le", "et", "les", "est"),
+    "es": ("el", "los", "es", "una"),
+}
+
+
+def lang_id(c: str) -> Column:
+    """Stopword-marker language guess; 'und' (undetermined) when no marker
+    hits. Deterministic and SQL-reproducible."""
+    padded = F.concat(F.lit(" "), F.lower(F.trim(F.col(c))), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_occurrences(padded, f" {w} ") for w in words[1:]),
+            _occurrences(padded, f" {words[0]} "),
+        )
+        for lang, words in _LANG_MARKERS.items()
+    }
+    # argmax with deterministic tie-break on language code order
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in sorted(_LANG_MARKERS):
+        s = scores[lang]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best.alias("lang_pred")
+
+
+def doc_fingerprint(c: str) -> Column:
+    """64-bit content fingerprint (xxhash64 of the raw text) — the
+    byte-identity pin for extracted text per url (north rule)."""
+    return F.xxhash64(F.col(c)).alias("fingerprint")

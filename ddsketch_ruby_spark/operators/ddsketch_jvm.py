@@ -1,0 +1,136 @@
+"""JVM fast path for DDSketch aggregation (logarithmic mapping).
+
+The insight: with the logarithmic key mapping, the sketch's bucket key is a
+closed-form expression — ``ceil(log2(|v|) * multiplier)`` — so the entire
+histogram build can run inside whole-stage codegen:
+
+    groupBy(group, zone, key).agg(sum(w), sum(v*w), min(v), max(v))
+
+Tungsten's hash aggregate does map-side partial aggregation, the shuffle
+carries only distinct (group, zone, key) rows (bounded by the bucket count,
+~2*bin_limit per group — independent of input rows), and Python touches
+nothing until the final assembly of a few-thousand-row histogram into bin
+arrays. Compared to shipping raw rows through Arrow into pandas UDFs this
+removes the Python boundary from the hot path entirely — the job becomes
+scan-bound and scales like any native Spark aggregation.
+
+Collapsing-store semantics are applied at assembly time: clamping every key
+to [max_key - bin_limit + 1, ...] is exactly the reference's
+order-insensitive collapse contract (see kernel/store.py derivation), so
+assembling after a full groupBy is legal.
+
+Numerics: Spark's LOG2 computes ln(v)/ln(2) — an oracle must mirror that
+exact expression (LN(v)/LN(2)) to be bit-compatible; NumPy's log2 (used by
+the kernel/python path) can differ in the last ulp on bucket boundaries.
+Both paths satisfy the alpha accuracy contract; tests compare them at the
+quantile level, not the bin level.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernel import DDSketch
+from ..sketches.ddsketch_spec import DDSketchSpec
+
+__all__ = ["ddsketch_jvm_agg"]
+
+
+def _histogram(
+    df: DataFrame,
+    spec: DDSketchSpec,
+    value_col: str,
+    group_by: list[str],
+    weight_col: str | None,
+) -> DataFrame:
+    mapping = spec.zero().mapping
+    mp = mapping.min_possible
+    mult = mapping._multiplier
+
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    src = df.where(v.isNotNull() & ~F.isnan(v))
+    zone = (
+        F.when(v > F.lit(mp), F.lit(1))
+        .when(v < F.lit(-mp), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    key = F.when(zone == 0, F.lit(0).cast("long")).otherwise(
+        F.ceil(F.log2(F.abs(v)) * F.lit(mult)) + F.lit(int(mapping.offset))
+    )
+    return src.groupBy(
+        *group_by, zone.alias("__zone"), key.alias("__key")
+    ).agg(
+        F.sum(w).alias("__cnt"),
+        F.sum(v * w).alias("__svw"),
+        F.min(v).alias("__minv"),
+        F.max(v).alias("__maxv"),
+    )
+
+
+def _assemble_state(spec: DDSketchSpec, pdf: pd.DataFrame) -> DDSketch:
+    """(zone, key, cnt, svw, minv, maxv) rows -> kernel sketch state."""
+    s = spec.zero()
+    zones = pdf["__zone"].to_numpy()
+    keys = pdf["__key"].to_numpy().astype(np.int64)
+    cnts = pdf["__cnt"].to_numpy().astype(np.float64)
+    for zone, store in ((1, s.store), (-1, s.negative_store)):
+        m = zones == zone
+        if m.any():
+            store.add_batch(keys[m], cnts[m])
+    zm = zones == 0
+    s.zero_count = float(cnts[zm].sum()) if zm.any() else 0.0
+    s.count = float(cnts.sum())
+    s.sum = float(pdf["__svw"].to_numpy().sum())
+    s.min = float(pdf["__minv"].to_numpy().min())
+    s.max = float(pdf["__maxv"].to_numpy().max())
+    return s
+
+
+def ddsketch_jvm_agg(
+    df: DataFrame,
+    spec: DDSketchSpec,
+    value_col: str,
+    group_by: Iterable[str] = (),
+    weight_col: str | None = None,
+    output: str = "result",
+) -> DataFrame:
+    """JVM-histogram DDSketch aggregation; same output contract as
+    operators.agg.sketch_agg with a DDSketchSpec."""
+    if spec.mapping != "logarithmic":
+        raise ValueError(
+            "JVM fast path requires the logarithmic mapping; use the "
+            "python engine for interpolated mappings"
+        )
+    group_by = list(group_by)
+    hist = _histogram(df, spec, value_col, group_by, weight_col)
+
+    by_name = {f.name: f for f in df.schema.fields}
+    group_fields = [by_name[g] for g in group_by]
+    if output == "state":
+        out_schema = T.StructType(group_fields + spec.state_fields())
+        emit = spec.state_to_row
+    elif output == "result":
+        out_schema = T.StructType(group_fields + spec.result_fields())
+        emit = spec.result
+    else:
+        raise ValueError("output must be 'result' or 'state'")
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        state = _assemble_state(spec, pdf)
+        row: dict[str, Any] = {g: pdf[g].iloc[0] for g in group_by}
+        row.update(emit(state))
+        return pd.DataFrame([row], columns=out_schema.names)
+
+    if group_by:
+        return hist.groupBy(*group_by).applyInPandas(assemble, schema=out_schema)
+    return hist.groupBy(F.lit(1).alias("__g")).applyInPandas(
+        lambda pdf: assemble(pdf.drop(columns=["__g"], errors="ignore")),
+        schema=out_schema,
+    )

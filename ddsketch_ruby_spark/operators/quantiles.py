@@ -16,6 +16,22 @@ from ..kernel import DEFAULT_BIN_LIMIT, DEFAULT_REL_ACC
 from ..kernel.store import COLLAPSE_LOWEST
 from ..sketches.ddsketch_spec import DDSketchSpec, quantile_col_name
 from .agg import sketch_agg
+from .ddsketch_jvm import ddsketch_jvm_agg
+
+
+def _dispatch(engine, df, spec, value_col, group_by, weight_col, output, tree_fanin):
+    """engine: "auto" uses the JVM histogram fast path whenever the mapping
+    allows it (logarithmic), falling back to the python/Arrow two-phase
+    engine for interpolated mappings; "jvm"/"python" force a path."""
+    if engine == "auto":
+        engine = "jvm" if spec.mapping == "logarithmic" else "python"
+    if engine == "jvm":
+        return ddsketch_jvm_agg(df, spec, value_col, group_by, weight_col, output)
+    if engine == "python":
+        return sketch_agg(
+            df, spec, value_col, group_by, weight_col, output, tree_fanin
+        )
+    raise ValueError("engine must be 'auto', 'jvm', or 'python'")
 
 __all__ = ["ddsketch_quantiles", "ddsketch_quantiles_long", "ddsketch_state"]
 
@@ -39,6 +55,7 @@ def ddsketch_quantiles(
     include_stats: bool = True,
     value_formula: str = "reference",
     tree_fanin: int | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """One row per group: requested quantile columns (+ exact count/sum/
     min/max/avg, which the sketch tracks exactly and a SQL oracle can
@@ -52,9 +69,9 @@ def ddsketch_quantiles(
         include_stats=include_stats,
         value_formula=value_formula,
     )
-    return sketch_agg(
-        df, spec, value_col, group_by, weight_col, output="result",
-        tree_fanin=tree_fanin,
+    return _dispatch(
+        engine, df, spec, value_col, list(group_by), weight_col, "result",
+        tree_fanin,
     )
 
 
@@ -66,6 +83,7 @@ def ddsketch_quantiles_long(
     relative_accuracy: float = DEFAULT_REL_ACC,
     round_to: int = 6,
     tree_fanin: int | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Long format: one row per (group, quantile) with columns
     (group..., qname, qvalue). Uses the 'pow' value formula
@@ -82,6 +100,7 @@ def ddsketch_quantiles_long(
         include_stats=False,
         value_formula="pow",
         tree_fanin=tree_fanin,
+        engine=engine,
     )
     stack_args = ", ".join(
         f"'{name}', round({name}, {round_to})" for name in qmap
@@ -100,12 +119,17 @@ def ddsketch_state(
     mapping: str = "logarithmic",
     weight_col: str | None = None,
     tree_fanin: int | None = None,
+    engine: str = "python",
 ) -> DataFrame:
-    """One mergeable sketch-state row per group (persist / merge later)."""
+    """One mergeable sketch-state row per group (persist / merge later).
+
+    Default engine is "python" so persisted states are bit-faithful to the
+    kernel's NumPy key computation; pass engine="jvm"/"auto" for the fast
+    path (keys may differ in the last ulp on bucket boundaries)."""
     spec = DDSketchSpec(
         relative_accuracy, store_type, bin_limit, mapping, include_stats=False
     )
-    return sketch_agg(
-        df, spec, value_col, group_by, weight_col, output="state",
-        tree_fanin=tree_fanin,
+    return _dispatch(
+        engine, df, spec, value_col, list(group_by), weight_col, "state",
+        tree_fanin,
     )

@@ -1,0 +1,191 @@
+"""Scaling-efficiency evidence for the north rule: the identical sketch
+build+merge job at two parallelism levels (local[N] vs local[4N]) over the
+same input, reporting throughput at both and
+efficiency = (throughput_4N / throughput_N) / 4.
+
+The sandbox has no multi-node cluster; per the driver instruction this
+two-parallelism run on one box is the accepted stand-in for N vs 4N
+executors.
+
+Usage:
+  python scripts/scaling_bench.py            # full: generate + both runs + report
+  python scripts/scaling_bench.py --run 8    # child: one timed run, prints JSON
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROWS = int(os.environ.get("SCALING_ROWS", "4000000"))
+DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".bench",
+    f"web_pages_{ROWS}.parquet",
+)
+# N and 4N cores. Default 2->8: calibration probes (scripts/cpu_ceiling.py
+# and measured scan throughput) show this sandbox saturates its memory
+# bandwidth at ~6.5M docs/s above ~8 concurrent scan threads and its vCPUs
+# are host-contended above ~16 processes, so 8->32 / 4->16 measure the box,
+# not the job. 2->8 has full hardware headroom and is the honest N-vs-4N
+# stand-in; all pairs are reported in BENCH/BASELINE.md.
+CORES = tuple(
+    int(c) for c in os.environ.get("SCALING_CORES", "2,8").split(",")
+)
+QS = {"q50": 0.5, "q95": 0.95, "q99": 0.99}
+
+
+def _job(spark, df):
+    """The measured job: per-lang DDSketch of doc lengths AND global
+    DDSketch of latencies in ONE pass — a single scan feeds both measures
+    (stack), one histogram shuffle, one assembly stage. This is the shape
+    the job would take on a 1000-executor cluster: never scan the corpus
+    twice for two measures."""
+    from pyspark.sql import functions as F
+
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_quantiles
+
+    stacked = df.select(
+        F.expr(
+            "stack(2, 'doc_len', cast(length(text) as double), "
+            "'latency', latency_ms) as (metric, v)"
+        ),
+        F.col("lang"),
+    ).select(
+        "metric",
+        F.when(F.col("metric") == "doc_len", F.col("lang"))
+        .otherwise(F.lit("__all__"))
+        .alias("grp"),
+        "v",
+    )
+    rows = ddsketch_quantiles(
+        stacked, "v", group_by=["metric", "grp"], quantiles=QS
+    ).collect()
+    by_lang = [r for r in rows if r["metric"] == "doc_len"]
+    latency = [r for r in rows if r["metric"] == "latency"]
+    return by_lang, latency
+
+
+def run_child(cores: int) -> None:
+    from ddsketch_ruby_spark.sources.session import get_spark
+
+    spark = get_spark(f"scaling-{cores}", cpus=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(DATA)
+    n = df.count()
+    _job(spark, df.limit(2000))  # warm Python workers + Arrow paths
+    best = float("inf")
+    result = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        result = _job(spark, df)
+        best = min(best, time.monotonic() - t0)
+    by_lang, latency = result
+    q99_latency = next(r["q99"] for r in [latency[0].asDict()])
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "rows": n,
+                "secs": round(best, 3),
+                "docs_per_sec": round(n / best, 1),
+                "q99_latency": q99_latency,
+                "langs": len(by_lang),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--run":
+        run_child(int(sys.argv[2]))
+        return
+
+    # 1. materialize the deterministic input once
+    if not os.path.exists(DATA):
+        from ddsketch_ruby_spark.sources.session import get_spark
+        from ddsketch_ruby_spark.sources.webpages import web_pages
+
+        spark = get_spark("scaling-gen", cpus=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        web_pages(spark, ROWS, dist="lognormal", partitions=64).write.mode(
+            "overwrite"
+        ).parquet(DATA)
+        spark.stop()
+
+    # 2. identical job at each parallelism, clean JVM per run
+    results = {}
+    for cores in CORES:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run", str(cores)],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(line)
+
+    # 3. accuracy: q99 of latency vs the exact sort oracle (DuckDB)
+    import duckdb
+
+    exact_q99 = duckdb.sql(
+        f"SELECT quantile_disc(latency_ms, 0.99) FROM read_parquet('{DATA}/*.parquet')"
+    ).fetchone()[0]
+    sketch_q99 = results[CORES[-1]]["q99_latency"]
+    rel_err = abs(sketch_q99 - exact_q99) / abs(exact_q99)
+
+    lo, hi = CORES
+    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
+    report = {
+        "rows": ROWS,
+        f"docs_per_sec_local{lo}": results[lo]["docs_per_sec"],
+        f"docs_per_sec_local{hi}": results[hi]["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "q99_rel_err": round(rel_err, 6),
+        "pass_efficiency_0.8": eff >= 0.8,
+        "pass_q99_alpha_0.01": rel_err <= 0.01,
+    }
+    print(json.dumps(report))
+
+    md = f"""# Latest scaling run (see BASELINE.md for the curated story)
+
+Job: DDSketch (alpha=0.01, collapsing_lowest, bin_limit=2048) build+merge —
+per-lang doc-length quantiles (q50/q95/q99) + global latency quantiles —
+over the deterministic synthetic web_pages table
+({ROWS:,} rows, lognormal doc lengths, FIXTURES.md §1 schema).
+Identical job, identical input, two parallelism levels (driver-sanctioned
+stand-in for N vs 4N executors). Steady-state timing (warmup + best of 2),
+clean JVM per level.
+
+| parallelism | wall (s) | docs/sec |
+|---|---|---|
+| local[{lo}] | {results[lo]['secs']} | {results[lo]['docs_per_sec']:,} |
+| local[{hi}] | {results[hi]['secs']} | {results[hi]['docs_per_sec']:,} |
+
+- scaling efficiency (local[{lo}]->local[{hi}]) = (thr{hi}/thr{lo})/{hi//lo} =
+  **{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+- q99 latency relative error vs exact sort oracle = **{rel_err:.6f}**
+  (target <= alpha=0.01: {"PASS" if rel_err <= 0.01 else "FAIL"})
+
+Reproduce: `python scripts/scaling_bench.py` (env SCALING_ROWS to resize).
+"""
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH",
+        "scaling_latest.md",
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write(md)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,255 @@
+"""Companion sketches: published error bounds + merge monoid laws, kernel
+and distributed (SURVEY.md §7.5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ddsketch_ruby_spark.operators.agg import sketch_agg
+from ddsketch_ruby_spark.sketches.bloom import BloomSpec
+from ddsketch_ruby_spark.sketches.cms import CMSSpec
+from ddsketch_ruby_spark.sketches.hll import HLLSpec, hll_estimate
+from ddsketch_ruby_spark.sketches.kll import KLLSpec, kll_quantile, kll_rank
+from ddsketch_ruby_spark.sketches.tdigest import TDigestSpec, tdigest_quantile
+
+
+def _hash64(values: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Cheap stand-in for xxhash64 in kernel-level tests."""
+    x = np.asarray(values, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(seed) + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(
+            0xBF58476D1CE4E5B9
+        )
+        x ^= x >> np.uint64(31)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(29)
+    return x.view(np.int64)
+
+
+def _split_update_merge(spec, hashed, parts=7):
+    chunks = np.array_split(hashed, parts)
+    states = []
+    for c in chunks:
+        states.append(spec.update(spec.zero(), c))
+    merged = spec.zero()
+    for s in states:
+        merged = spec.merge(merged, s)
+    return merged
+
+
+# ---------------------------------------------------------------- HLL
+@pytest.mark.parametrize("n", [100, 5_000, 200_000])
+def test_hll_error_bound(n):
+    spec = HLLSpec(p=14)
+    h = _hash64(np.arange(n))
+    st = spec.update(spec.zero(), h)
+    est = hll_estimate(st)
+    # standard error 1.04/sqrt(m) ~ 0.81%; allow 4 sigma
+    assert abs(est - n) / n < 4 * 1.04 / np.sqrt(1 << 14)
+
+
+def test_hll_merge_equals_single_build():
+    spec = HLLSpec(p=12)
+    h = _hash64(np.arange(50_000) % 9_000)  # duplicates across chunks
+    single = spec.update(spec.zero(), h)
+    merged = _split_update_merge(spec, h)
+    assert np.array_equal(single, merged)  # registers identical
+
+
+def test_hll_idempotent_duplicates():
+    spec = HLLSpec(p=12)
+    h = _hash64(np.arange(1000))
+    once = spec.update(spec.zero(), h)
+    thrice = spec.update(spec.update(spec.zero(), h), np.tile(h, 2))
+    assert np.array_equal(once, thrice)
+
+
+# ---------------------------------------------------------------- CMS
+def test_cms_one_sided_and_bounded():
+    spec = CMSSpec(width=2048, depth=5)
+    rng = np.random.default_rng(42)
+    items = rng.zipf(1.3, size=100_000) % 10_000
+    h = _hash64(items)
+    st = _split_update_merge(spec, h)
+    uniq, true_counts = np.unique(items, return_counts=True)
+    est = spec.estimate(st, _hash64(uniq))
+    assert (est >= true_counts - 1e-9).all()  # never underestimates
+    # eps = e/width over total mass, 1-delta confidence; check 99.9 pct
+    eps = np.e / 2048
+    overshoot = est - true_counts
+    assert np.quantile(overshoot, 0.999) <= eps * len(items) * 2
+
+
+def test_cms_merge_equals_single_build():
+    spec = CMSSpec(width=256, depth=4)
+    h = _hash64(np.arange(10_000) % 500)
+    single = spec.update(spec.zero(), h)
+    merged = _split_update_merge(spec, h)
+    assert np.array_equal(single, merged)
+
+
+def test_cms_weighted():
+    spec = CMSSpec(width=1024, depth=5)
+    h = _hash64(np.array([7, 8]))
+    st = spec.update(spec.zero(), h, np.array([3.5, 2.0]))
+    est = spec.estimate(st, h)
+    assert est[0] >= 3.5 and est[1] >= 2.0
+
+
+# ---------------------------------------------------------------- Bloom
+def test_bloom_no_false_negatives_and_fpr():
+    spec = BloomSpec(expected_items=10_000, fpp=0.01)
+    members = _hash64(np.arange(10_000))
+    st = _split_update_merge(spec, members)
+    assert spec.contains(st, members).all()
+    probes = _hash64(np.arange(10_000, 60_000))
+    fpr = spec.contains(st, probes).mean()
+    assert fpr < 0.03  # target 1%, generous margin
+
+
+def test_bloom_merge_is_union():
+    spec = BloomSpec(expected_items=1000, fpp=0.01)
+    a = spec.update(spec.zero(), _hash64(np.arange(0, 500)))
+    b = spec.update(spec.zero(), _hash64(np.arange(500, 1000)))
+    m = spec.merge(a.copy(), b)
+    assert spec.contains(m, _hash64(np.arange(0, 1000))).all()
+
+
+# ---------------------------------------------------------------- t-digest
+@pytest.mark.parametrize("dist", ["uniform", "lognormal", "exponential"])
+def test_tdigest_rank_error(dist):
+    rng = np.random.default_rng(42)
+    data = {
+        "uniform": rng.uniform(0, 10_000, 50_000),
+        "lognormal": rng.lognormal(0, 1, 50_000) * 100,
+        "exponential": rng.exponential(1000, 50_000),
+    }[dist]
+    spec = TDigestSpec(delta=200)
+    st = spec.zero()
+    for chunk in np.array_split(data, 11):
+        other = spec.update(spec.zero(), chunk)
+        st = spec.merge(st, other)
+    s = np.sort(data)
+    n = len(s)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99, 0.999):
+        got = tdigest_quantile(st, q)
+        # rank error: position of estimate within sorted data close to q*n
+        rank = np.searchsorted(s, got) / n
+        assert abs(rank - q) < 0.012, (q, rank)
+    assert st.count == n
+    assert tdigest_quantile(st, 0) == s[0]
+    assert tdigest_quantile(st, 1) == s[-1]
+
+
+def test_tdigest_bounded_size():
+    spec = TDigestSpec(delta=100)
+    st = spec.update(spec.zero(), np.random.default_rng(1).normal(0, 1, 200_000))
+    assert len(st.means) <= 200  # ~delta centroids
+
+
+# ---------------------------------------------------------------- KLL
+def test_kll_rank_error():
+    rng = np.random.default_rng(42)
+    data = rng.lognormal(0, 1, 100_000) * 100
+    spec = KLLSpec(k=200)
+    st = spec.zero()
+    for chunk in np.array_split(data, 13):
+        st = spec.merge(st, spec.update(spec.zero(), chunk))
+    s = np.sort(data)
+    n = len(s)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        got = kll_quantile(st, q)
+        rank = np.searchsorted(s, got) / n
+        assert abs(rank - q) < 0.03, (q, rank)
+    assert st.count == n
+    # rank query consistency
+    med = kll_quantile(st, 0.5)
+    assert abs(kll_rank(st, med) - 0.5) < 0.03
+
+
+def test_kll_bounded_memory():
+    spec = KLLSpec(k=200)
+    st = spec.update(spec.zero(), np.random.default_rng(0).uniform(0, 1, 500_000))
+    retained = sum(len(a) for a in st.levels)
+    assert retained < 3000
+
+
+# ---------------------------------------------------------------- codecs
+@pytest.mark.parametrize(
+    "spec_fn,values",
+    [
+        (lambda: HLLSpec(p=10), lambda: _hash64(np.arange(1000))),
+        (lambda: CMSSpec(width=128, depth=3), lambda: _hash64(np.arange(1000) % 50)),
+        (lambda: BloomSpec(expected_items=500), lambda: _hash64(np.arange(500))),
+        (
+            lambda: TDigestSpec(delta=100),
+            lambda: np.random.default_rng(3).normal(0, 1, 2000),
+        ),
+        (
+            lambda: KLLSpec(k=100),
+            lambda: np.random.default_rng(4).uniform(0, 1, 2000),
+        ),
+    ],
+    ids=["hll", "cms", "bloom", "tdigest", "kll"],
+)
+def test_codec_round_trip(spec_fn, values):
+    spec = spec_fn()
+    st = spec.update(spec.zero(), values())
+    row = spec.state_to_row(st)
+    st2 = spec.row_to_state(row)
+    # states must merge identically after a codec round trip
+    r1 = spec.result(spec.merge(spec.zero(), st))
+    r2 = spec.result(spec.merge(spec.zero(), st2))
+    for k, v in r1.items():
+        v2 = r2[k]
+        if isinstance(v, (bytes, int)) or v is None:
+            assert v == v2, k
+        elif isinstance(v, float):
+            assert v == pytest.approx(v2, rel=1e-12), k
+        else:
+            assert np.array_equal(np.asarray(v), np.asarray(v2)), k
+
+
+# ---------------------------------------------------------------- Spark
+def test_hll_distributed_vs_builtin(spark, sf01_dir):
+    events = spark.read.parquet(f"{sf01_dir}/events.parquet")
+    hashed = events.select(
+        "event_type", F.xxhash64("user_id").alias("h")
+    )
+    res = {
+        r["event_type"]: r["approx_distinct"]
+        for r in sketch_agg(hashed, HLLSpec(p=14), "h", ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["d"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for et, d in exact.items():
+        assert abs(res[et] - d) / d < 0.05, (et, res[et], d)
+
+
+def test_tdigest_distributed(spark, sf01_dir):
+    li = spark.read.parquet(f"{sf01_dir}/lineitem.parquet")
+    res = sketch_agg(
+        li, TDigestSpec(delta=200), "l_extendedprice", []
+    ).collect()[0].asDict()
+    vals = np.sort(
+        np.array([r[0] for r in li.select("l_extendedprice").collect()])
+    )
+    n = len(vals)
+    for name, q in (("q50", 0.5), ("q95", 0.95), ("q99", 0.99)):
+        rank = np.searchsorted(vals, res[name]) / n
+        assert abs(rank - q) < 0.01, (name, rank)
+
+
+def test_kll_distributed_partition_stability(spark, sf01_dir):
+    li = spark.read.parquet(f"{sf01_dir}/lineitem.parquet")
+    res = sketch_agg(
+        li.repartition(16), KLLSpec(k=200), "l_quantity", []
+    ).collect()[0].asDict()
+    assert res["count"] == li.count()
+    vals = np.sort(np.array([r[0] for r in li.select("l_quantity").collect()]))
+    rank = np.searchsorted(vals, res["q50"], side="right") / len(vals)
+    assert abs(rank - 0.5) < 0.05

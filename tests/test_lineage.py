@@ -1,0 +1,77 @@
+"""Checkpointed resumable build: kill-and-resume must equal single-shot
+(north rule: per-partition lineage + metrics, no recomputation)."""
+
+import glob
+import json
+import os
+
+import pytest
+
+from ddsketch_ruby_spark.plans.lineage import CheckpointedSketchBuild
+from ddsketch_ruby_spark.sketches.ddsketch_spec import DDSketchSpec
+
+
+@pytest.fixture()
+def splits(spark, tmp_path):
+    """Materialize events as 4 separate single-file inputs (the work units)."""
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"split_{i}")
+        src.filter(f"event_id % 4 = {i}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        paths.append(p)
+    return paths
+
+
+def test_resume_equals_single_shot(spark, tmp_path, splits):
+    spec = DDSketchSpec(0.01, include_stats=True, quantiles={"q50": 0.5})
+
+    # single-shot reference
+    ref_dir = str(tmp_path / "ckpt_ref")
+    ref = CheckpointedSketchBuild(spark, spec, ref_dir, "value", ["event_type"])
+    assert ref.run(splits) == 4
+    ref_rows = {
+        r["event_type"]: r.asDict() for r in ref.result().collect()
+    }
+
+    # killed after 2 splits, then resumed
+    dir2 = str(tmp_path / "ckpt_resume")
+    build = CheckpointedSketchBuild(spark, spec, dir2, "value", ["event_type"])
+    assert build.run(splits, fail_after=2) == 2
+    assert not build.is_complete(splits)
+    done_before = set(build.completed_splits())
+    assert len(done_before) == 2
+
+    resumed = CheckpointedSketchBuild(spark, spec, dir2, "value", ["event_type"])
+    assert resumed.run(splits) == 2  # only the pending two
+    assert resumed.is_complete(splits)
+    got = {r["event_type"]: r.asDict() for r in resumed.result().collect()}
+
+    assert set(got) == set(ref_rows)
+    for k in got:
+        assert got[k]["count"] == ref_rows[k]["count"]
+        assert got[k]["q50"] == ref_rows[k]["q50"]
+        assert got[k]["min"] == ref_rows[k]["min"]
+        assert got[k]["max"] == ref_rows[k]["max"]
+
+
+def test_rerun_is_noop(spark, tmp_path, splits):
+    spec = DDSketchSpec(0.01)
+    d = str(tmp_path / "ckpt_noop")
+    b = CheckpointedSketchBuild(spark, spec, d, "value", [])
+    assert b.run(splits) == 4
+    assert b.run(splits) == 0  # idempotent: nothing recomputed
+
+
+def test_lineage_rows_have_metrics(spark, tmp_path, splits):
+    spec = DDSketchSpec(0.01)
+    d = str(tmp_path / "ckpt_metrics")
+    b = CheckpointedSketchBuild(spark, spec, d, "value", [])
+    b.run(splits[:1])
+    rows = [json.load(open(p)) for p in glob.glob(os.path.join(d, "lineage", "*.json"))]
+    assert len(rows) == 1
+    assert rows[0]["rows"] > 0
+    assert rows[0]["wall_sec"] > 0
+    assert "finished_at" in rows[0]

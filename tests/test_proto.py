@@ -1,0 +1,62 @@
+"""proto3 interchange codec round-trip tests (reference
+lib/ddsketch/proto/ddsketch.proto:15-66, proto_spec.rb:6-74)."""
+
+import numpy as np
+import pytest
+
+from ddsketch_ruby_spark.kernel import DDSketch
+from ddsketch_ruby_spark.kernel.proto import deserialize_sketch, serialize_sketch
+
+
+@pytest.mark.parametrize("mapping", ["logarithmic", "linear", "cubic"])
+def test_round_trip_buckets(mapping):
+    s = DDSketch(0.02, mapping=mapping)
+    rng = np.random.default_rng(42)
+    s.add_batch(rng.lognormal(0, 1, 2000) * 100)
+    s.add_batch(-rng.exponential(10, 500))
+    s.add_batch(np.zeros(7))
+    data = serialize_sketch(s)
+    back = deserialize_sketch(data)
+    assert back.mapping.interpolation == s.mapping.interpolation
+    assert back.mapping.gamma == pytest.approx(s.mapping.gamma, rel=1e-12)
+    assert back.store.key_counts() == s.store.key_counts()
+    assert back.negative_store.key_counts() == s.negative_store.key_counts()
+    assert back.zero_count == s.zero_count
+    assert back.count == s.count
+    for q in (0.1, 0.5, 0.99):
+        assert back.get_quantile_value(q) == pytest.approx(
+            s.get_quantile_value(q), rel=1e-9
+        )
+
+
+def test_gem_compat_gamma_field():
+    """The Ruby gem writes relative_accuracy into proto gamma
+    (reference proto.rb:36); our flag reproduces that for interop."""
+    s = DDSketch(0.05)
+    s.add(42.0)
+    data = serialize_sketch(s, gamma_field="relative_accuracy")
+    back = deserialize_sketch(data, gamma_field="relative_accuracy")
+    assert back.mapping.relative_accuracy == pytest.approx(0.05)
+
+
+def test_empty_sketch():
+    s = DDSketch(0.01)
+    back = deserialize_sketch(serialize_sketch(s))
+    assert back.count == 0
+
+
+def test_merge_after_round_trip():
+    """Serialized sketches from 'remote nodes' must merge into a live one —
+    the distributed-merge use case the proto exists for."""
+    a = DDSketch(0.01)
+    b = DDSketch(0.01)
+    rng = np.random.default_rng(1)
+    xa = rng.uniform(1, 1000, 1000)
+    xb = rng.uniform(1, 1000, 1000)
+    a.add_batch(xa)
+    b.add_batch(xb)
+    b_wire = deserialize_sketch(serialize_sketch(b))
+    a.merge(b_wire)
+    ref = DDSketch(0.01)
+    ref.add_batch(np.concatenate([xa, xb]))
+    assert a.store.key_counts() == ref.store.key_counts()

@@ -1,0 +1,205 @@
+"""Text-analysis column functions + similarity search + near-dup operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ddsketch_ruby_spark.functions.text import (
+    avg_token_len,
+    digit_ratio,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from ddsketch_ruby_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+)
+from ddsketch_ruby_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def textdf(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different content about spark sketches"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "der hund und die katze das ist gut und der baum"),
+        (6, "abc123 456 789 000 111"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count_and_ratios(spark, textdf):
+    r = {
+        x["doc_id"]: x.asDict()
+        for x in textdf.select(
+            "doc_id",
+            token_count("text"),
+            avg_token_len("text"),
+            stopword_ratio("text"),
+            digit_ratio("text"),
+            quality_score("text"),
+        ).collect()
+    }
+    assert r[1]["token_count"] == 9
+    assert r[1]["avg_token_len"] == pytest.approx(35 / 9)  # 35 letters, 9 tokens
+    assert r[1]["stopword_ratio"] == pytest.approx(2 / 9)  # 'the' twice
+    assert r[6]["digit_ratio"] > 0.5
+    assert 0 <= r[3]["quality_score"] <= 1
+
+
+def test_lang_id(spark, textdf):
+    r = {
+        x["doc_id"]: x["lang_pred"]
+        for x in textdf.select("doc_id", lang_id("text")).collect()
+    }
+    assert r[1] == "en"
+    assert r[5] == "de"
+    assert r[6] == "und"  # no markers
+
+
+def test_fingerprint_deterministic(spark, textdf):
+    a = textdf.select("doc_id", doc_fingerprint("text")).collect()
+    b = textdf.select("doc_id", doc_fingerprint("text")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    fp = {x["doc_id"]: x["fingerprint"] for x in a}
+    assert fp[1] == fp[4]  # identical text -> identical fingerprint
+    assert fp[1] != fp[2]
+
+
+def test_exact_dedup(spark, textdf):
+    out = {
+        r["doc_id"]: r["dup_count"]
+        for r in exact_dedup(textdf, ["text"], "doc_id").collect()
+    }
+    assert out[1] == 2  # docs 1 and 4 collapse, min id kept
+    assert 4 not in out
+    hashed = {
+        r["doc_id"]: r["dup_count"]
+        for r in exact_dedup(textdf, ["text"], "doc_id", hash_key=True).collect()
+    }
+    assert hashed == out
+
+
+def test_minhash_lsh_finds_near_dups(spark, textdf):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(
+            textdf, "text", "doc_id", num_hashes=64, bands=16
+        ).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5  # near dup
+    assert (1, 3) not in pairs or pairs[(1, 3)] < 0.2
+
+
+def test_minhash_signature_stable_across_partitions(spark, textdf):
+    a = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(textdf, "text", "doc_id", 32).collect()}
+    b = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(
+            textdf.repartition(5), "text", "doc_id", 32
+        ).collect()
+    }
+    assert a == b
+
+
+def test_simhash_near_dups_close(spark, textdf):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(textdf, "text", "doc_id").collect()}
+    assert fps[1] == fps[4]
+    ham_near = bin(fps[1] ^ fps[2]).count("1")
+    ham_far = bin(fps[1] ^ fps[3]).count("1")
+    assert ham_near < ham_far
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _exact_topk(emb_rows, query, k):
+    q = np.array(query, dtype=np.float64)
+    sims = []
+    for vid, vec in emb_rows:
+        v = np.array(vec, dtype=np.float64)
+        sims.append(
+            (round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6), vid)
+        )
+    sims.sort(key=lambda t: (-t[0], t[1]))
+    return [vid for _, vid in sims[:k]]
+
+
+def test_cosine_topk_exact(spark, emb):
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    query = [float(x) for x in rows[0][1]]
+    got = [r["vec_id"] for r in cosine_topk(emb, "embedding", "vec_id", query, k=10).collect()]
+    assert got == _exact_topk(rows, query, 10)
+    assert got[0] == rows[0][0]  # self is nearest
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """200 random vectors + 8 planted near-duplicates of a query vector —
+    the workload ANN must solve (the driver embeddings are uniform-random,
+    where sub-linear ANN provably cannot beat chance)."""
+    rng = np.random.default_rng(42)
+    dim = 32
+    query = rng.standard_normal(dim)
+    rows = []
+    for i in range(200):
+        rows.append((int(i), rng.standard_normal(dim).tolist()))
+    for j in range(8):
+        v = query + 0.15 * rng.standard_normal(dim)
+        rows.append((int(1000 + j), v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, query.tolist(), rows
+
+
+def test_lsh_topk_recall(spark, planted):
+    df, query, rows = planted
+    exact = set(_exact_topk(rows, query, 8))
+    approx = {
+        r["vec_id"]
+        for r in lsh_topk(
+            df, "embedding", "vec_id", query, k=8, n_planes=10, max_hamming=2
+        ).collect()
+    }
+    assert len(exact & approx) >= 6  # recall >= 0.75 on planted near-dups
+
+
+def test_ivf_topk_recall(spark, planted):
+    df, query, rows = planted
+    exact = set(_exact_topk(rows, query, 8))
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(
+            df, "embedding", "vec_id", query, k=8, n_cells=8, nprobe=3,
+            sample_fraction=0.9,
+        ).collect()
+    }
+    assert len(exact & approx) >= 6
+
+
+def test_lsh_scans_subset(spark, emb):
+    """On the driver's (near-random) embeddings the value of LSH is the
+    candidate-set reduction; verify the bucket filter actually prunes."""
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    query = [float(x) for x in rows[3][1]]
+    from ddsketch_ruby_spark.operators.similarity import lsh_bucket
+
+    bucketed = lsh_bucket(emb, "embedding", len(query), n_planes=10)
+    n_candidates = (
+        bucketed.groupBy("lsh_bucket").count().count()
+    )
+    assert n_candidates > 10  # buckets actually spread
+    got = lsh_topk(
+        emb, "embedding", "vec_id", query, k=5, n_planes=10, max_hamming=1
+    ).collect()
+    assert 0 < len(got) <= 5
+    assert got[0]["vec_id"] == 3  # the query vector itself survives probing
