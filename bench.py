@@ -32,9 +32,19 @@ def main() -> None:
     spark = get_spark("bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    from ddsketch_ruby_spark.functions.text import token_count
+    from ddsketch_ruby_spark.operators.agg import sketch_agg
+    from ddsketch_ruby_spark.operators.similarity import cosine_topk
+    from ddsketch_ruby_spark.sketches.hll import HLLSpec
+
     events = table(spark, sf_dir, "events")
     lineitem = table(spark, sf_dir, "lineitem")
     documents = table(spark, sf_dir, "documents")
+    embeddings = table(spark, sf_dir, "embeddings")
+    _query_vec = [
+        float(x)
+        for x in embeddings.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
 
     # warm the JVM, Python workers, and the Arrow mapInPandas/applyInPandas
     # paths once so timings reflect steady state, not first-use JIT/startup
@@ -70,13 +80,30 @@ def main() -> None:
         "minhash_lsh_documents": lambda: minhash_lsh_pairs(
             documents, "text", "doc_id", num_hashes=64, bands=16
         ).count(),
+        "hll_users_by_type": lambda: sketch_agg(
+            events.select("event_type", F.xxhash64("user_id").alias("h")),
+            HLLSpec(p=14),
+            "h",
+            ["event_type"],
+        ).collect(),
+        "token_stats_by_lang": lambda: documents.select(
+            "lang", token_count("text")
+        )
+        .groupBy("lang")
+        .agg(F.sum("token_count"), F.avg("token_count"))
+        .collect(),
+        "cosine_topk_embeddings": lambda: cosine_topk(
+            embeddings, "embedding", "vec_id", _query_vec, k=10
+        ).collect(),
     }
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         timings[name] = bench(fn)
 
-    n_rows = events.count() + lineitem.count() + documents.count()
+    n_rows = (
+        events.count() + lineitem.count() + documents.count() + embeddings.count()
+    )
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(

@@ -78,18 +78,20 @@ def _shingle_hashes(text: str, width: int) -> np.ndarray:
 def _minhash_batch(
     texts: pd.Series, num_hashes: int, shingle: int, seed: int
 ) -> list[np.ndarray]:
+    """Multiply-shift universal hashing (odd multiplier, uint64 wraparound,
+    top-63-bit keep) instead of mod-Mersenne — ~4x cheaper per (hash,
+    shingle) with the same minwise-independence quality in practice."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.uint64)
+    a = (rng.integers(1, 1 << 62, size=num_hashes, dtype=np.uint64) << 1) | 1
+    b = rng.integers(0, 1 << 62, size=num_hashes, dtype=np.uint64)
     out = []
     for t in texts:
-        sh = _shingle_hashes(t or "", shingle) % np.uint64(_MERSENNE)
+        sh = _shingle_hashes(t or "", shingle)
         if len(sh) == 0:
             out.append(np.zeros(num_hashes, dtype=np.int64))
             continue
-        # (num_hashes, n_shingles) permutation values mod Mersenne prime
         with np.errstate(over="ignore"):
-            vals = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+            vals = (a[:, None] * sh[None, :] + b[:, None]) >> np.uint64(1)
         out.append(vals.min(axis=1).astype(np.int64))
     return out
 
@@ -117,7 +119,14 @@ def minhash_signatures(
             sigs = _minhash_batch(pdf[text_col], num_hashes, shingle, seed)
             yield pd.DataFrame({id_col: pdf[id_col].values, "sig": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+    src = df.select(id_col, text_col)
+    # shingling is CPU-heavy: a small-file scan (1-2 splits) would serialize
+    # it; spread rows across the cluster first. At real scale the input has
+    # plenty of splits and this repartition is a no-op branch.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < max(2, target // 2):
+        src = src.repartition(target)
+    return src.mapInPandas(compute, schema=out_schema)
 
 
 def minhash_lsh_pairs(

@@ -130,6 +130,51 @@ def test_scan_pruning(spark, events):
     assert m.group(1).split(":")[0] == "value" and "," not in m.group(1), m.group(1)
 
 
+def test_jvm_engine_matches_python_engine(spark, events, sf_dir):
+    """The JVM histogram fast path and the Arrow two-phase path must agree:
+    identical counts/min/max, quantile keys equal up to the documented
+    log2-ulp difference (values within the alpha bound of each other)."""
+    li = table(spark, sf_dir, "lineitem")
+    for df, col, grp in ((events, "value", []), (li, "l_extendedprice", ["l_returnflag"])):
+        a = {
+            tuple(r[g] for g in grp): r.asDict()
+            for r in ddsketch_quantiles(df, col, grp, quantiles=QS, engine="jvm").collect()
+        }
+        b = {
+            tuple(r[g] for g in grp): r.asDict()
+            for r in ddsketch_quantiles(df, col, grp, quantiles=QS, engine="python").collect()
+        }
+        assert set(a) == set(b)
+        for k in a:
+            assert a[k]["count"] == b[k]["count"]
+            assert a[k]["min"] == b[k]["min"] and a[k]["max"] == b[k]["max"]
+            assert abs(a[k]["sum"] - b[k]["sum"]) <= 1e-6 * abs(b[k]["sum"])
+            for q in QS:
+                from ddsketch_ruby_spark.sketches.ddsketch_spec import (
+                    quantile_col_name,
+                )
+
+                name = quantile_col_name(q)
+                va, vb = a[k][name], b[k][name]
+                assert abs(va - vb) <= ALPHA * abs(vb) + 1e-12, (k, name, va, vb)
+
+
+def test_jvm_engine_negative_and_zero(spark):
+    """Three-zone routing parity on the JVM path."""
+    import numpy as np
+
+    data = [(float(v),) for v in [-50.0, -1.0, 0.0, 0.0, 0.5, 2.0, 1000.0]]
+    sdf = spark.createDataFrame(data, "value double")
+    res = ddsketch_quantiles(sdf, "value", quantiles=(0.0, 0.5, 1.0), engine="jvm").collect()[0].asDict()
+    assert res["count"] == 7.0
+    assert res["min"] == -50.0 and res["max"] == 1000.0
+    # rank 3 of 7 (q50) lands in the zero band
+    assert res["q50"] == 0.0
+    ref = ddsketch_quantiles(sdf, "value", quantiles=(0.0, 0.5, 1.0), engine="python").collect()[0].asDict()
+    for name in ("q0", "q50", "q100"):
+        assert res[name] == pytest.approx(ref[name], rel=1e-9)
+
+
 def test_spark_matches_kernel(spark, events):
     """The distributed result must equal a single-process kernel run."""
     from ddsketch_ruby_spark.kernel import DDSketch

@@ -1,0 +1,96 @@
+"""Structured Streaming sketch aggregation: a multi-micro-batch stream must
+converge to the same sketch as a single batch build (monoid-as-state)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ddsketch_ruby_spark.sketches.ddsketch_spec import DDSketchSpec
+from ddsketch_ruby_spark.sketches.hll import HLLSpec
+from ddsketch_ruby_spark.streaming.sketch_stream import sketch_stream_agg
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    """events split into 3 parquet files -> file stream, 1 file per batch."""
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "stream_in")
+    for i in range(3):
+        src.filter(f"event_id % 3 = {i}").coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    return d, src
+
+
+def _run_stream(spark, result_df, name):
+    q = (
+        result_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def test_stream_converges_to_batch(spark, stream_dir):
+    d, src = stream_dir
+    schema = src.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    spec = DDSketchSpec(0.01, quantiles={"q50": 0.5, "q99": 0.99})
+    out = sketch_stream_agg(stream, spec, "value", ["event_type"])
+    mem = _run_stream(spark, out, "sketch_updates")
+
+    # update mode: several rows per group; the LAST per group is the final
+    rows = mem.collect()
+    assert len(rows) > 5  # multiple micro-batches emitted updates
+    import pandas as pd
+
+    pdf = mem.toPandas()
+    final = pdf.groupby("event_type").tail(1).set_index("event_type")
+
+    # batch reference
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_quantiles
+
+    ref = {
+        r["event_type"]: r.asDict()
+        for r in ddsketch_quantiles(
+            src, "value", group_by=["event_type"], quantiles=(0.5, 0.99),
+            engine="python",
+        ).collect()
+    }
+    assert set(final.index) == set(ref)
+    for et, r in ref.items():
+        assert final.loc[et, "count"] == r["count"]
+        assert final.loc[et, "q50"] == pytest.approx(r["q50"], rel=1e-12)
+        assert final.loc[et, "q99"] == pytest.approx(r["q99"], rel=1e-12)
+
+
+def test_stream_hll(spark, stream_dir):
+    d, src = stream_dir
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .select("event_type", F.xxhash64("user_id").alias("h"))
+    )
+    out = sketch_stream_agg(stream, HLLSpec(p=12), "h", ["event_type"])
+    mem = _run_stream(spark, out, "hll_updates")
+    pdf = mem.toPandas()
+    final = pdf.groupby("event_type").tail(1)
+    exact = {
+        r["event_type"]: r["d"]
+        for r in src.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for _, row in final.iterrows():
+        d_ = exact[row["event_type"]]
+        assert abs(row["approx_distinct"] - d_) / d_ < 0.1
