@@ -319,7 +319,26 @@ def _q_ddsketch_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ddsketch_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch's internal bucket histogram itself, oracle-verified —
+    the strongest possible correctness artifact for the core structure."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_state
+
+    (events,) = _tables(spark, sf_dir, "events")
+    state = ddsketch_state(
+        events.filter(F.col("value") > 0), "value", engine="jvm"
+    )
+    return state.select(
+        F.posexplode("pos_bins").alias("pos", "bin_count"),
+        F.col("pos_offset"),
+    ).select(
+        (F.col("pos") + F.col("pos_offset")).alias("bucket_key"),
+        F.col("bin_count"),
+    ).filter(F.col("bin_count") > 0)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ddsketch_bins_events": _q_ddsketch_bins,
     "ddsketch_events_quantiles": _q_events_quantiles,
     "ddsketch_doclen_by_lang": _q_doclen_by_lang,
     "ddsketch_price_by_returnflag": _q_price_by_returnflag,
@@ -332,6 +351,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_by_lang": _q_quality_by_lang,
     "cosine_topk_embeddings": _q_cosine_topk,
     "minhash_near_dup_pairs": _q_minhash_pairs,
+    "ngram_jaccard_pairs": lambda spark, sf_dir: __import__(
+        "ddsketch_ruby_spark.operators.dedup", fromlist=["ngram_jaccard_pairs"]
+    ).ngram_jaccard_pairs(
+        _tables(spark, sf_dir, "documents")[0], "text", "doc_id",
+        min_jaccard=0.5, num_hashes=64, bands=16,
+    ),
+    "cosine_near_dup_pairs": lambda spark, sf_dir: __import__(
+        "ddsketch_ruby_spark.operators.dedup", fromlist=["cosine_near_dup_pairs"]
+    ).cosine_near_dup_pairs(
+        _tables(spark, sf_dir, "embeddings")[0], "embedding", "vec_id",
+        min_cosine=0.3, n_planes=6,
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine")),
     "simhash_documents": _q_simhash_documents,
     "doc_fingerprints": _q_doc_fingerprints,
     "hll_users_by_type": _q_hll_users_by_type,
@@ -473,6 +504,11 @@ SELECT vec_id, sim, rank FROM ranked WHERE rank <= 10
 
 ORACLES.update(
     {
+        "ddsketch_bins_events": f"""
+SELECT CAST(CEIL(LN(value) / LN(2.0) * {MULT!r}) AS BIGINT) AS bucket_key,
+       CAST(COUNT(*) AS DOUBLE) AS bin_count
+FROM events WHERE value > 0 GROUP BY bucket_key
+""",
         "ddsketch_weighted_quantity": _weighted_ddsketch_oracle(),
         "token_stats_by_lang": f"""
 SELECT lang,

@@ -19,7 +19,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs", "simhash"]
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "cosine_near_dup_pairs",
+    "simhash",
+]
 
 _MERSENNE = (1 << 61) - 1
 
@@ -195,6 +202,122 @@ def minhash_lsh_pairs(
     if min_jaccard > 0:
         est = est.filter(F.col("est_jaccard") >= min_jaccard)
     return est
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle: int = 5,
+    min_jaccard: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs, LSH-pruned.
+
+    Candidate generation via banded MinHash (cheap, high recall at the
+    threshold), then exact verification: re-shingle both texts of each
+    candidate pair and compute |A∩B|/|A∪B| precisely. The expensive exact
+    step touches only candidate pairs, never the n^2 cross product — the
+    scalable shape of exact-threshold dedup.
+    """
+    candidates = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle=shingle,
+        seed=seed,
+        min_jaccard=max(0.0, min_jaccard - 0.2),  # slack for estimator noise
+    )
+    texts = df.select(F.col(id_col), F.col(text_col))
+    pairs = (
+        candidates.join(
+            texts.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+                text_col, "__ta"
+            ),
+            "id_a",
+        )
+        .join(
+            texts.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+                text_col, "__tb"
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", "__ta", "__tb")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ia, ib, ta, tb in zip(
+                pdf["id_a"], pdf["id_b"], pdf["__ta"], pdf["__tb"]
+            ):
+                sa = _shingle_hashes(ta or "", shingle)
+                sb = _shingle_hashes(tb or "", shingle)
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                j = inter / union if union else 0.0
+                if j >= min_jaccard:
+                    rows.append({"id_a": int(ia), "id_b": int(ib), "jaccard": j})
+            if rows:
+                yield pd.DataFrame(rows, columns=schema.names)
+
+    return pairs.mapInPandas(verify, schema=schema)
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    min_cosine: float = 0.9,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket
+    self-join for candidates (identical sign pattern — high-cosine pairs
+    collide with high probability), exact cosine rerank JVM-side."""
+    from .similarity import lsh_bucket
+
+    dim = len(df.select(vec_col).first()[0])
+    b = lsh_bucket(df, vec_col, dim, n_planes, seed).select(
+        F.col(id_col), F.col(vec_col), F.col("lsh_bucket")
+    )
+    v = lambda side: F.transform(F.col(f"{side}.{vec_col}"), lambda x: x.cast("double"))  # noqa: E731
+    left, right = b.alias("l"), b.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    )
+    dot = F.aggregate(
+        F.zip_with(v("l"), v("r"), lambda a, bb: a * bb),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(v(side), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    return (
+        pairs.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            (dot / (norm("l") * norm("r"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def simhash(

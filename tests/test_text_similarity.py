@@ -110,6 +110,40 @@ def test_minhash_signature_stable_across_partitions(spark, textdf):
     assert a == b
 
 
+def test_ngram_jaccard_exact(spark, textdf):
+    from ddsketch_ruby_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            textdf, "text", "doc_id", shingle=5, min_jaccard=0.5,
+            num_hashes=64, bands=32,
+        ).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # identical text: exact jaccard 1
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert (1, 3) not in pairs
+
+
+def test_cosine_near_dup_pairs(spark, planted):
+    from ddsketch_ruby_spark.operators.dedup import cosine_near_dup_pairs
+
+    df, query, rows = planted
+    got = cosine_near_dup_pairs(
+        df, "embedding", "vec_id", min_cosine=0.85, n_planes=6
+    ).collect()
+    planted_ids = {r[0] for r in rows if r[0] >= 1000}
+    hit_pairs = [
+        (r["id_a"], r["id_b"])
+        for r in got
+        if r["id_a"] in planted_ids and r["id_b"] in planted_ids
+    ]
+    # 8 planted near-dups of one vector -> 28 true pairs; single-bucket LSH
+    # at 6 planes collides ~half of them
+    assert len(hit_pairs) >= 8
+    assert all(r["cosine"] >= 0.85 for r in got)
+
+
 def test_simhash_near_dups_close(spark, textdf):
     fps = {r["doc_id"]: r["simhash"] for r in simhash(textdf, "text", "doc_id").collect()}
     assert fps[1] == fps[4]
