@@ -319,6 +319,50 @@ def _q_ddsketch_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ddsketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed sketches: per-day latency quantiles over the events
+    stream table (the hypertable-rollup shape)."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_quantiles_long
+
+    (events,) = _tables(spark, sf_dir, "events")
+    daily = events.filter(F.col("value") > 0).select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    return ddsketch_quantiles_long(daily, "value", ["day"], quantiles=_QS)
+
+
+def _q_ddsketch_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-enriched sketch: lineitem joined to part (explicitly
+    broadcast — the small side never shuffles) then per-brand quantiles."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_quantiles_long
+
+    li, part = _tables(spark, sf_dir, "lineitem", "part")
+    joined = li.filter(F.col("l_extendedprice") > 0).join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return ddsketch_quantiles_long(
+        joined, "l_extendedprice", ["p_brand"], quantiles={"q50": 0.5, "q99": 0.99}
+    )
+
+
+def _q_props_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column: parse the JSON props payload and aggregate."""
+    (events,) = _tables(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def _q_ddsketch_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch's internal bucket histogram itself, oracle-verified —
     the strongest possible correctness artifact for the core structure."""
@@ -339,6 +383,9 @@ def _q_ddsketch_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_bins_events": _q_ddsketch_bins,
+    "ddsketch_daily_value": _q_ddsketch_daily,
+    "ddsketch_price_by_brand": _q_ddsketch_price_by_brand,
+    "props_k_stats": _q_props_k_stats,
     "ddsketch_events_quantiles": _q_events_quantiles,
     "ddsketch_doclen_by_lang": _q_doclen_by_lang,
     "ddsketch_price_by_returnflag": _q_price_by_returnflag,
@@ -508,6 +555,28 @@ ORACLES.update(
 SELECT CAST(CEIL(LN(value) / LN(2.0) * {MULT!r}) AS BIGINT) AS bucket_key,
        CAST(COUNT(*) AS DOUBLE) AS bin_count
 FROM events WHERE value > 0 GROUP BY bucket_key
+""",
+        "ddsketch_daily_value": _ddsketch_oracle_sql(
+            "value", "(SELECT CAST(ts AS DATE) AS day, value FROM events) AS t",
+            ["day"], _QS,
+        ),
+        "ddsketch_price_by_brand": _ddsketch_oracle_sql(
+            "l_extendedprice",
+            "(SELECT l_extendedprice, p_brand FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey) AS t",
+            ["p_brand"],
+            {"q50": 0.5, "q99": 0.99},
+        ),
+        "props_k_stats": """
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       ROUND(AVG(k), 6) AS avg_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events) t
+GROUP BY event_type
 """,
         "ddsketch_weighted_quantity": _weighted_ddsketch_oracle(),
         "token_stats_by_lang": f"""

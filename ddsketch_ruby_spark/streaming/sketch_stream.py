@@ -110,6 +110,8 @@ def sketch_stream_windowed(
     within the watermark still merge (the monoid absorbs reordering);
     older state is dropped by Spark automatically."""
     group_by = list(group_by)
+    # watermarks require TIMESTAMP (with zone); parquet often yields NTZ
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     windowed = (
         stream_df.withWatermark(ts_col, watermark)
         .select(

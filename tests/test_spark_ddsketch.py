@@ -118,6 +118,31 @@ def test_nulls_and_empty_groups(spark):
     assert rows[None]["count"] == 1.0  # null group key preserved
 
 
+def test_jvm_plan_quality(spark, events):
+    """Plan regression gate for the JVM fast path: filter pushdown reaches
+    the scan, column pruning holds, map-side partial aggregation runs
+    before the first exchange, and there are exactly two (tiny) shuffles:
+    (group, zone, key) then (group)."""
+    plan = (
+        ddsketch_quantiles(
+            events.filter(F.col("value") > 0), "value", ["event_type"]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [GreaterThan(value,0.0)" in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert sorted(c.split(":")[0] for c in m.group(1).split(",")) == [
+        "event_type",
+        "value",
+    ]
+    assert plan.count("Exchange") == 2
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
 def test_scan_pruning(spark, events):
     """Column pruning must reach the parquet scan: the engine selects only
     the value column, so ReadSchema contains just it."""

@@ -73,6 +73,44 @@ def test_stream_converges_to_batch(spark, stream_dir):
         assert final.loc[et, "q99"] == pytest.approx(r["q99"], rel=1e-12)
 
 
+def test_stream_windowed(spark, stream_dir):
+    """Event-time tumbling windows with a watermark: per-(window, type)
+    sketches converge to the batch per-day result."""
+    from ddsketch_ruby_spark.streaming.sketch_stream import sketch_stream_windowed
+
+    d, src = stream_dir
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    spec = DDSketchSpec(0.01, quantiles={"q50": 0.5})
+    out = sketch_stream_windowed(
+        stream, spec, "value", ts_col="ts", window="1 day",
+        watermark="10 days", group_by=["event_type"],
+    )
+    mem = _run_stream(spark, out, "windowed_updates")
+    pdf = mem.toPandas()
+    final = (
+        pdf.groupby(["window_start", "event_type"]).tail(1)
+    )
+    ref = (
+        src.select(F.date_trunc("day", "ts").alias("window_start"),
+                   "event_type", "value")
+        .groupBy("window_start", "event_type")
+        .agg(F.count("value").alias("n"))
+        .collect()
+    )
+    ref_counts = {(r["window_start"], r["event_type"]): r["n"] for r in ref}
+    got_counts = {
+        (row["window_start"], row["event_type"]): row["count"]
+        for _, row in final.iterrows()
+    }
+    assert got_counts.keys() == ref_counts.keys()
+    for k, n in ref_counts.items():
+        assert got_counts[k] == n
+
+
 def test_stream_hll(spark, stream_dir):
     d, src = stream_dir
     stream = (
