@@ -86,6 +86,10 @@ class DDSketchSpec(SketchSpec):
     # -- codec ---------------------------------------------------------------
     def state_fields(self) -> list[T.StructField]:
         return [
+            # gamma travels with persisted states so cross-job merges can
+            # enforce the reference's compatibility guard
+            # (base_sketch.rb:181-183) even after the building spec is gone
+            T.StructField("gamma", T.DoubleType()),
             T.StructField("pos_bins", T.ArrayType(T.DoubleType(), False)),
             T.StructField("pos_offset", T.LongType()),
             T.StructField("neg_bins", T.ArrayType(T.DoubleType(), False)),
@@ -99,6 +103,7 @@ class DDSketchSpec(SketchSpec):
 
     def state_to_row(self, state: DDSketch) -> dict[str, Any]:
         return {
+            "gamma": state.mapping.gamma,
             "pos_bins": state.store.bins,
             "pos_offset": state.store.offset,
             "neg_bins": state.negative_store.bins,
@@ -112,6 +117,12 @@ class DDSketchSpec(SketchSpec):
 
     def row_to_state(self, row: dict[str, Any]) -> DDSketch:
         s = self.zero()
+        if row.get("gamma") is not None and row["gamma"] != s.mapping.gamma:
+            from ..kernel import InvalidSketchMergeError
+
+            raise InvalidSketchMergeError(
+                "Cannot merge two sketches with different relative accuracy"
+            )
         pos = np.asarray(row["pos_bins"], dtype=np.float64)
         neg = np.asarray(row["neg_bins"], dtype=np.float64)
         s.store.bins = pos

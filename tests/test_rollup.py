@@ -37,6 +37,21 @@ def test_rollup_equals_direct_build(spark, sf_dir):
     assert total["count"] == n
 
 
+def test_cross_job_gamma_guard(spark, sf_dir):
+    """States persisted at one alpha must refuse to fold under another —
+    the reference's InvalidSketchMergeError carried across jobs."""
+    import pytest
+
+    from ddsketch_ruby_spark.kernel import InvalidSketchMergeError
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fine = ddsketch_state(docs, "n_chars", ["lang"], relative_accuracy=0.01)
+    wrong_spec = DDSketchSpec(0.05)
+    with pytest.raises(Exception) as exc_info:
+        merge_states(fine, wrong_spec, [], output="result").collect()
+    assert "different relative accuracy" in str(exc_info.value)
+
+
 def test_cube_union_shape(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     spec = DDSketchSpec(0.01, include_stats=True, quantiles={"q50": 0.5})

@@ -200,6 +200,23 @@ def test_jvm_engine_negative_and_zero(spark):
         assert res[name] == pytest.approx(ref[name], rel=1e-9)
 
 
+def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
+    """Hive/Iceberg-style partitioned layout: a lang filter must prune
+    partitions at the scan (the single biggest I/O lever at 100 TB)."""
+    docs = table(spark, sf_dir, "documents")
+    d = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(d)
+    pdf = spark.read.parquet(d)
+    q = ddsketch_quantiles(
+        pdf.filter(F.col("lang") == "en"), "n_chars", quantiles=(0.5,)
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    res = q.collect()[0].asDict()
+    expected = docs.filter("lang = 'en'").count()
+    assert res["count"] == expected
+
+
 def test_spark_matches_kernel(spark, events):
     """The distributed result must equal a single-process kernel run."""
     from ddsketch_ruby_spark.kernel import DDSketch
