@@ -81,10 +81,16 @@ class CheckpointedSketchBuild:
             tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
             partial.write.mode("overwrite").parquet(tmp)
             os.rename(tmp, out)  # atomic publish
+            sketch_bytes = sum(
+                os.path.getsize(os.path.join(out, f))
+                for f in os.listdir(out)
+                if f.endswith(".parquet")
+            )
             lineage_row = {
                 "split": sid,
                 "input": path,
                 "rows": n_rows,
+                "sketch_bytes": sketch_bytes,
                 "wall_sec": round(time.monotonic() - t0, 3),
                 "finished_at": time.time(),
             }

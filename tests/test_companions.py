@@ -226,8 +226,16 @@ def test_hll_distributed_vs_builtin(spark, sf01_dir):
         .agg(F.countDistinct("user_id").alias("d"))
         .collect()
     }
+    # cross-check against Spark's built-in HLL++ too (SURVEY §2.5 distinct)
+    builtin = {
+        r["event_type"]: r["d"]
+        for r in events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("d"))
+        .collect()
+    }
     for et, d in exact.items():
         assert abs(res[et] - d) / d < 0.05, (et, res[et], d)
+        assert abs(res[et] - builtin[et]) / d < 0.1, (et, res[et], builtin[et])
 
 
 def test_tdigest_distributed(spark, sf01_dir):

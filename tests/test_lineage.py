@@ -73,5 +73,6 @@ def test_lineage_rows_have_metrics(spark, tmp_path, splits):
     rows = [json.load(open(p)) for p in glob.glob(os.path.join(d, "lineage", "*.json"))]
     assert len(rows) == 1
     assert rows[0]["rows"] > 0
+    assert rows[0]["sketch_bytes"] > 0
     assert rows[0]["wall_sec"] > 0
     assert "finished_at" in rows[0]
