@@ -392,6 +392,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_stats_events": _q_sketch_stats_events,
     "ddsketch_weighted_quantity": _q_ddsketch_weighted,
     "ddsketch_cubic_events": _q_ddsketch_cubic,
+    "ddsketch_linear_events": lambda spark, sf_dir: __import__(
+        "ddsketch_ruby_spark.operators.quantiles", fromlist=["ddsketch_quantiles"]
+    ).ddsketch_quantiles(
+        _tables(spark, sf_dir, "events")[0], "value",
+        quantiles=(0.5, 0.99), mapping="linear", engine="python",
+    ),
     "exact_dedup_documents": _q_exact_dedup_documents,
     "token_stats_by_lang": _q_token_stats_by_lang,
     "langid_documents": _q_langid_documents,

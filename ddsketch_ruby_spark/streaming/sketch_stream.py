@@ -28,7 +28,31 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..sketches.base import SketchSpec
 
-__all__ = ["sketch_stream_agg", "sketch_stream_windowed"]
+__all__ = ["sketch_stream_agg", "sketch_stream_windowed", "stream_exact_dedup"]
+
+
+def stream_exact_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    hash_key: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup. With a timestamp column the dedup state is
+    watermark-bounded (dropDuplicatesWithinWatermark — state ages out);
+    without one it is global (state grows with distinct keys — use only
+    for bounded key spaces). hash_key keeps the state at 8 bytes per key."""
+    df = stream_df
+    cols = list(key_cols)
+    if hash_key:
+        df = df.withColumn("__key", F.xxhash64(*key_cols))
+        cols = ["__key"]
+    if ts_col is not None:
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        out = df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(cols)
+    else:
+        out = df.dropDuplicates(cols)
+    return out.drop("__key") if hash_key else out
 
 
 def _plain(v: Any) -> Any:

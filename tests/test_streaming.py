@@ -111,6 +111,33 @@ def test_stream_windowed(spark, stream_dir):
         assert got_counts[k] == n
 
 
+def test_stream_exact_dedup(spark, stream_dir, tmp_path):
+    """Duplicated stream input -> exactly one row per key survives."""
+    from ddsketch_ruby_spark.streaming.sketch_stream import stream_exact_dedup
+
+    d, src = stream_dir
+    dup_dir = str(tmp_path / "dup_in")
+    src.limit(200).coalesce(1).write.mode("append").parquet(dup_dir)
+    src.limit(200).coalesce(1).write.mode("append").parquet(dup_dir)  # dups
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dup_dir)
+    )
+    deduped = stream_exact_dedup(stream, ["event_id"], ts_col="ts", watermark="30 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select event_id from dedup_out").collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)) == 200
+
+
 def test_stream_hll(spark, stream_dir):
     d, src = stream_dir
     stream = (
