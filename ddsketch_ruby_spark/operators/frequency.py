@@ -1,0 +1,92 @@
+"""Frequency / membership convenience operators over CMS and Bloom states.
+
+Pattern: build the sketch distributed (hashing JVM-side), persist or collect
+the compact state, query it anywhere — the state is the index. Useful when
+the key space is too large for an exact groupBy (CMS: O(width x depth)
+memory for any number of keys) or when a later job needs cheap membership
+(Bloom: bits shipped to executors instead of a join).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sketches.bloom import BloomSpec
+from ..sketches.cms import CMSSpec
+from .agg import sketch_agg
+
+__all__ = [
+    "cms_build",
+    "cms_estimate",
+    "bloom_build",
+    "bloom_filter_column",
+    "hash_items",
+]
+
+
+def hash_items(spark, items: Iterable, dtype: str = "long") -> list[int]:
+    """xxhash64 of literal items via the JVM — the same hash the build used
+    (never mix Python-side hashing with JVM-side builds)."""
+    items = list(items)
+    df = spark.createDataFrame([(it,) for it in items], f"item {dtype}")
+    return [r["h"] for r in df.select(F.xxhash64("item").alias("h")).collect()]
+
+
+def cms_build(
+    df: DataFrame, col: str, spec: CMSSpec, weight_col: str | None = None
+) -> np.ndarray:
+    """Distributed count-min build over xxhash64(col); returns the state."""
+    hashed = df.select(
+        F.xxhash64(col).alias("__h"),
+        *( [F.col(weight_col)] if weight_col else [] ),
+    )
+    rows = sketch_agg(
+        hashed, spec, "__h", [], weight_col=weight_col, output="state"
+    ).collect()
+    return spec.row_to_state(rows[0].asDict())
+
+
+def cms_estimate(
+    spark, state: np.ndarray, spec: CMSSpec, items: Iterable, dtype: str = "long"
+) -> dict:
+    hashes = hash_items(spark, items, dtype)
+    est = spec.estimate(state, hashes)
+    return dict(zip(list(items), [float(e) for e in est]))
+
+
+def bloom_build(df: DataFrame, col: str, spec: BloomSpec) -> np.ndarray:
+    hashed = df.select(F.xxhash64(col).alias("__h"))
+    rows = sketch_agg(hashed, spec, "__h", [], output="state").collect()
+    return spec.row_to_state(rows[0].asDict())
+
+
+def bloom_filter_column(
+    df: DataFrame, col: str, spec: BloomSpec, state: np.ndarray
+) -> DataFrame:
+    """Adds boolean ``maybe_member`` by probing the Bloom state inside a
+    pandas iterator — the state broadcasts once per executor via the
+    closure; no join, no shuffle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bits = state.copy()
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("maybe_member", T.BooleanType())]
+    )
+    hashed = df.withColumn("__h", F.xxhash64(col))
+
+    def probe(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            h = pdf["__h"].to_numpy()
+            member = spec.contains(bits, h)
+            out = pdf.drop(columns=["__h"])
+            out["maybe_member"] = member
+            yield out
+
+    return hashed.mapInPandas(probe, schema=schema)
