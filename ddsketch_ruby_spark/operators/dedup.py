@@ -103,6 +103,42 @@ def _minhash_batch(
     return out
 
 
+def _oph_batch(
+    texts: pd.Series, num_hashes: int, shingle: int, seed: int
+) -> list[np.ndarray]:
+    """One-permutation hashing (Li et al.): ONE hash pass per shingle,
+    bucketed into num_hashes bins by its top bits, min per bin; empty bins
+    densified by borrowing from the next non-empty bin (rotation). O(n + H)
+    per doc instead of O(n*H) — the scale path for 10^12-doc corpora."""
+    mix = np.uint64(seed * 2 + 1)
+    out = []
+    H = num_hashes
+    for t in texts:
+        sh = _shingle_hashes(t or "", shingle)
+        if len(sh) == 0:
+            out.append(np.zeros(H, dtype=np.int64))
+            continue
+        with np.errstate(over="ignore"):
+            h = sh * mix
+        bins = (h % np.uint64(H)).astype(np.int64)
+        vals = (h >> np.uint64(1)).astype(np.int64)
+        sig = np.full(H, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(sig, bins, vals)
+        empty = sig == np.iinfo(np.int64).max
+        if empty.any():
+            # rotation densification: borrow the next filled bin's value
+            filled_idx = np.flatnonzero(~empty)
+            if len(filled_idx) == 0:
+                sig[:] = 0
+            else:
+                pos = np.searchsorted(filled_idx, np.flatnonzero(empty)) % len(
+                    filled_idx
+                )
+                sig[empty] = sig[filled_idx[pos]]
+        out.append(sig)
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -110,8 +146,14 @@ def minhash_signatures(
     num_hashes: int = 128,
     shingle: int = 5,
     seed: int = 42,
+    variant: str = "classic",
 ) -> DataFrame:
-    """One minhash signature row per document: (id, sig array<long>)."""
+    """One minhash signature row per document: (id, sig array<long>).
+
+    variant="classic": num_hashes independent multiply-shift permutations
+    (O(n*H) per doc, lowest estimator variance). variant="oph":
+    one-permutation hashing with rotation densification (O(n + H) — use at
+    corpus scale)."""
     out_schema = T.StructType(
         [
             next(f for f in df.schema.fields if f.name == id_col),
@@ -119,11 +161,13 @@ def minhash_signatures(
         ]
     )
 
+    hasher = {"classic": _minhash_batch, "oph": _oph_batch}[variant]
+
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            sigs = _minhash_batch(pdf[text_col], num_hashes, shingle, seed)
+            sigs = hasher(pdf[text_col], num_hashes, shingle, seed)
             yield pd.DataFrame({id_col: pdf[id_col].values, "sig": sigs})
 
     src = df.select(id_col, text_col)
@@ -145,6 +189,7 @@ def minhash_lsh_pairs(
     shingle: int = 5,
     seed: int = 42,
     min_jaccard: float = 0.0,
+    variant: str = "classic",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
@@ -156,7 +201,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle, seed)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle, seed, variant)
     sig_col = F.col("sig")
     band_cols = [
         F.xxhash64(

@@ -250,3 +250,34 @@ def test_lsh_scans_subset(spark, emb):
     ).collect()
     assert 0 < len(got) <= 5
     assert got[0]["vec_id"] == 3  # the query vector itself survives probing
+
+
+def test_oph_minhash_finds_near_dups(spark, textdf):
+    """One-permutation variant: same LSH pipeline, O(n+H) hashing."""
+    from ddsketch_ruby_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(
+            textdf, "text", "doc_id", num_hashes=128, bands=32, variant="oph"
+        ).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.4
+    # deterministic across partitionings too
+    a = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(
+            textdf, "text", "doc_id", 64, variant="oph"
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(
+            textdf.repartition(4), "text", "doc_id", 64, variant="oph"
+        ).collect()
+    }
+    assert a == b
