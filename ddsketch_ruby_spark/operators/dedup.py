@@ -25,6 +25,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "cosine_near_dup_pairs",
+    "dedup_clusters",
     "simhash",
 ]
 
@@ -190,6 +191,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     min_jaccard: float = 0.0,
     variant: str = "classic",
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
@@ -198,6 +200,12 @@ def minhash_lsh_pairs(
     deduped and scored with the estimated Jaccard (fraction of equal
     signature positions). Shuffle cost: one groupBy on (band, band_hash) of
     8+8-byte keys — no document text ever shuffles.
+
+    ``max_bucket_size`` drops buckets larger than the cap before the
+    self-join: a boilerplate mega-cluster would otherwise blow up
+    quadratically (cap^2 per bucket is the worst-case join size). Capped
+    buckets are near-certain duplicates of each other anyway — at corpus
+    scale route them to exact_dedup on a boilerplate fingerprint instead.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -217,6 +225,13 @@ def minhash_lsh_pairs(
             F.array(*[F.col(f"band_{b}") for b in range(bands)])
         ).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+        exploded = exploded.withColumn("__bn", bucket_n).filter(
+            F.col("__bn") <= max_bucket_size
+        ).drop("__bn")
     left = exploded.alias("l")
     right = exploded.alias("r")
     pairs = (
@@ -363,6 +378,60 @@ def cosine_near_dup_pairs(
         .filter(F.col("cosine") >= min_cosine)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_type: str = "long",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Collapse near-dup pairs (id_a, id_b) into clusters: returns
+    (id, cluster_id) with cluster_id = min id reachable through the pair
+    graph — the canonical-document assignment for near-dup removal.
+
+    Algorithm: iterative min-label propagation (alternating large-star
+    rounds): each node adopts the smallest label among itself and its
+    neighbors; converges in O(diameter) rounds, and near-dup cluster
+    diameters are tiny in practice. Each round is one shuffle of
+    (id, label) pairs — no driver-side graph.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    edges = edges.cache()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 def simhash(

@@ -281,3 +281,38 @@ def test_oph_minhash_finds_near_dups(spark, textdf):
         ).collect()
     }
     assert a == b
+
+
+def test_lsh_bucket_cap_prunes_megacluster(spark):
+    """A 60-copy boilerplate cluster must not produce 60^2 pairs when the
+    bucket cap excludes it; distinct near-dups still pair up."""
+    from ddsketch_ruby_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, "identical boilerplate page text " * 5) for i in range(60)]
+    rows += [
+        (100, "a unique document about distributed sketches and quantiles"),
+        (101, "a unique document about distributed sketches and quantile"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_lsh_pairs(
+        df, "text", "doc_id", num_hashes=64, bands=16, max_bucket_size=10
+    ).collect()
+    ids = {r["id_a"] for r in capped} | {r["id_b"] for r in capped}
+    assert ids == {100, 101}  # boilerplate bucket pruned entirely
+    uncapped = minhash_lsh_pairs(
+        df, "text", "doc_id", num_hashes=64, bands=16, max_bucket_size=None
+    ).count()
+    assert uncapped >= 60 * 59 / 2  # the quadratic blowup the cap avoids
+
+
+def test_dedup_clusters(spark):
+    from ddsketch_ruby_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)],
+        "id_a long, id_b long",
+    )
+    labels = {
+        r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
