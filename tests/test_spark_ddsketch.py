@@ -104,6 +104,39 @@ def test_weighted_agg(spark):
     assert abs(res["q50"] - 99.0) <= ALPHA * 99.0 + 1e-15
 
 
+def test_weighted_grouped_tree_agg(spark, sf01_dir):
+    """Weighted + grouped + tree-merge on both engines agree with the
+    exact weighted aggregates."""
+    li = spark.read.parquet(f"{sf01_dir}/lineitem.parquet").withColumn(
+        "w", F.col("l_linenumber").cast("double")
+    )
+    exact = {
+        r["l_returnflag"]: r.asDict()
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.sum("w").alias("count"),
+            F.sum(F.col("l_quantity") * F.col("w")).alias("sum"),
+        )
+        .collect()
+    }
+    for engine, fanin in (("jvm", None), ("python", 4)):
+        res = {
+            r["l_returnflag"]: r.asDict()
+            for r in ddsketch_quantiles(
+                li.repartition(16),
+                "l_quantity",
+                ["l_returnflag"],
+                quantiles=(0.5,),
+                weight_col="w",
+                engine=engine,
+                tree_fanin=fanin,
+            ).collect()
+        }
+        for k, e in exact.items():
+            assert res[k]["count"] == pytest.approx(e["count"], rel=1e-12), engine
+            assert res[k]["sum"] == pytest.approx(e["sum"], rel=1e-9), engine
+
+
 def test_nulls_and_empty_groups(spark):
     sdf = spark.createDataFrame(
         [("a", 1.0), ("a", None), ("b", 2.0), (None, 3.0)],
