@@ -33,7 +33,7 @@ def _dispatch(engine, df, spec, value_col, group_by, weight_col, output, tree_fa
         )
     raise ValueError("engine must be 'auto', 'jvm', or 'python'")
 
-__all__ = ["ddsketch_quantiles", "ddsketch_quantiles_long", "ddsketch_state"]
+__all__ = ["ddsketch_quantiles", "ddsketch_quantiles_long", "ddsketch_multi", "ddsketch_state"]
 
 
 def _quantile_map(quantiles) -> dict[str, float]:
@@ -107,6 +107,43 @@ def ddsketch_quantiles_long(
     )
     expr = f"stack({len(qmap)}, {stack_args}) as (qname, qvalue)"
     return wide.select(*group_by, F.expr(expr))
+
+
+def ddsketch_multi(
+    df: DataFrame,
+    measures: dict[str, "Column | str"],
+    group_by: Iterable[str] = (),
+    quantiles: Iterable[float] | dict[str, float] = (0.5, 0.95, 0.99),
+    relative_accuracy: float = DEFAULT_REL_ACC,
+    include_stats: bool = True,
+    engine: str = "auto",
+) -> DataFrame:
+    """Sketch several measures in ONE scan: returns one row per
+    (measure, group...). At corpus scale this is the shape to prefer —
+    never scan 100 TB twice for a second metric. Implemented by stacking
+    (measure, value) rows JVM-side (stack() inside codegen), then a single
+    grouped sketch aggregation keyed by (measure, group...).
+    """
+    from pyspark.sql import Column
+
+    group_by = list(group_by)
+    pairs = []
+    for name, col in measures.items():
+        c = F.col(col) if isinstance(col, str) else col
+        pairs += [F.lit(name), c.cast("double")]
+    stacked = df.select(
+        F.stack(F.lit(len(measures)), *pairs).alias("measure", "__v"),
+        *group_by,
+    )
+    return ddsketch_quantiles(
+        stacked,
+        "__v",
+        ["measure", *group_by],
+        quantiles,
+        relative_accuracy,
+        include_stats=include_stats,
+        engine=engine,
+    )
 
 
 def ddsketch_state(

@@ -264,3 +264,23 @@ def test_spark_matches_kernel(spark, events):
     assert dist["pos_offset"] == local.store.offset
     assert dist["zero_count"] == local.zero_count
     assert dist["count"] == local.count
+
+
+def test_ddsketch_multi_one_pass(spark, events):
+    """Multi-measure single-scan API equals per-measure runs."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_multi
+
+    multi = {
+        (r["measure"],): r.asDict()
+        for r in ddsketch_multi(
+            events.withColumn("v2", F.col("value") * 2),
+            {"value": "value", "double_value": F.col("v2")},
+            quantiles=(0.5, 0.99),
+        ).collect()
+    }
+    single = ddsketch_quantiles(events, "value", quantiles=(0.5, 0.99)).collect()[0]
+    assert multi[("value",)]["q50"] == single["q50"]
+    assert multi[("value",)]["count"] == single["count"]
+    assert multi[("double_value",)]["count"] == single["count"]
+    # doubled measure: quantile within alpha of 2x
+    assert abs(multi[("double_value",)]["q50"] - 2 * single["q50"]) <= 0.03 * 2 * single["q50"]
