@@ -38,18 +38,31 @@ def exact_dedup(
     id_col: str,
     hash_key: bool = False,
     keep_columns: bool = False,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """Collapse exact duplicates over key_cols; keeps the minimum id per
     group plus the duplicate count.
 
     hash_key=True groups on xxhash64(key_cols) — the scalable path: the
     shuffle moves (8B hash, id) instead of the full key payload.
-    """
+    hash_bits=128 uses two independently-seeded xxhash64 columns: at
+    10^12 keys the 64-bit birthday bound yields ~27k expected false merges,
+    128 bits makes them negligible (SCALE.md)."""
     if hash_key:
-        keyed = df.select(
-            F.xxhash64(*key_cols).alias("__key"), F.col(id_col)
-        )
-        grouped = keyed.groupBy("__key")
+        if hash_bits == 128:
+            keyed = df.select(
+                F.xxhash64(*key_cols).alias("__key"),
+                F.xxhash64(F.lit(1), *key_cols).alias("__key2"),
+                F.col(id_col),
+            )
+            grouped = keyed.groupBy("__key", "__key2")
+        elif hash_bits == 64:
+            keyed = df.select(
+                F.xxhash64(*key_cols).alias("__key"), F.col(id_col)
+            )
+            grouped = keyed.groupBy("__key")
+        else:
+            raise ValueError("hash_bits must be 64 or 128")
     else:
         grouped = df.select(*key_cols, id_col).groupBy(*key_cols)
     out = grouped.agg(

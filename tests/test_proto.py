@@ -60,3 +60,28 @@ def test_merge_after_round_trip():
     ref = DDSketch(0.01)
     ref.add_batch(np.concatenate([xa, xb]))
     assert a.store.key_counts() == ref.store.key_counts()
+
+
+def test_corrupt_buffers_fail_cleanly():
+    """Truncated / garbage proto buffers must raise, never hang or return
+    silently-wrong sketches."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ddsketch_ruby_spark.kernel import DDSketch as _S
+
+    s = _S(0.02)
+    s.add_batch(np.linspace(1, 100, 50))
+    good = serialize_sketch(s)
+    for bad in (
+        good[: len(good) // 2],  # truncated
+        b"\xff" * 40,  # garbage
+        good + b"\x07",  # trailing junk tag
+        bytes([b ^ 0x55 for b in good]),  # bit-flipped
+    ):
+        try:
+            out = deserialize_sketch(bad)
+            # if it parses, it must at least be a structurally sound sketch
+            assert out.count >= 0
+        except Exception:
+            pass  # clean failure is acceptable; hanging/crashing is not

@@ -111,6 +111,55 @@ def test_stream_windowed(spark, stream_dir):
         assert got_counts[k] == n
 
 
+def test_stream_restart_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart with a checkpointLocation: the second run resumes
+    the sketch state instead of recounting — stream state survives the
+    process boundary (north-rule resumability, streaming flavor)."""
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "restart_in")
+    ckpt = str(tmp_path / "restart_ckpt")
+    src.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(in_dir)
+
+    spec = DDSketchSpec(0.01, quantiles={"q50": 0.5})
+    out_dir = str(tmp_path / "restart_out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out = sketch_stream_agg(stream, spec, "value", ["event_type"])
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # new data lands AFTER the first run "dies"
+    src.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+
+    pdf = spark.read.parquet(out_dir).toPandas()
+    # counts are monotone per group: the max row is the final state
+    final = (
+        pdf.sort_values("count").groupby("event_type").tail(1).set_index("event_type")
+    )
+    expected = {
+        r["event_type"]: r["n"]
+        for r in src.groupBy("event_type").agg(F.count("value").alias("n")).collect()
+    }
+    # counts include BOTH halves: the restart resumed existing state
+    for et, n in expected.items():
+        assert final.loc[et, "count"] == n
+
+
 def test_stream_exact_dedup(spark, stream_dir, tmp_path):
     """Duplicated stream input -> exactly one row per key survives."""
     from ddsketch_ruby_spark.streaming.sketch_stream import stream_exact_dedup

@@ -316,3 +316,17 @@ def test_dedup_clusters(spark):
         r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
     }
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+def test_exact_dedup_128bit(spark, textdf):
+    out64 = {
+        r["doc_id"]: r["dup_count"]
+        for r in exact_dedup(textdf, ["text"], "doc_id", hash_key=True).collect()
+    }
+    out128 = {
+        r["doc_id"]: r["dup_count"]
+        for r in exact_dedup(
+            textdf, ["text"], "doc_id", hash_key=True, hash_bits=128
+        ).collect()
+    }
+    assert out64 == out128
