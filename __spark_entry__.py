@@ -33,6 +33,19 @@ COEFF = 2.0 / (1.0 + GAMMA)
 _QS = {"q50": 0.5, "q95": 0.95, "q99": 0.99}
 
 
+def _dlit(x: float) -> str:
+    """Exact SQL double literal. DuckDB routes ``m.n`` decimal literals
+    through DECIMAL and can land one ulp off the intended double, so inline
+    every constant as mantissa * 2^exponent — BIGINT->DOUBLE casts and
+    power-of-two scaling are exact in IEEE-754."""
+    x = float(x)
+    if x == 0.0:
+        return "0.0"
+    sign = "-" if x < 0 else ""
+    m, e = math.frexp(abs(x))
+    return f"({sign}CAST({int(m * (1 << 53))} AS DOUBLE) * POWER(2.0, {e - 53}))"
+
+
 def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     from ddsketch_ruby_spark.sources.tables import table
 
@@ -40,27 +53,108 @@ def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
 
 def _ddsketch_oracle_sql(
-    value_expr: str, table: str, group_cols: list[str], qs: dict[str, float]
+    value_expr: str,
+    table: str,
+    group_cols: list[str],
+    qs: dict[str, float],
+    mapping: str = "logarithmic",
 ) -> str:
-    """DuckDB SQL replicating the DDSketch quantile pipeline exactly."""
+    """DuckDB SQL replicating the DDSketch quantile pipeline exactly, for
+    any of the three key mappings.
+
+    Logarithmic: key = ceil(log2(v) * multiplier); LN(v)/LN(2.0) mirrors
+    Spark's LOG2 implementation (ln ratio) op-for-op so the oracle is
+    bit-compatible with the JVM fast path (operators/ddsketch_jvm.py).
+
+    Linear/cubic (reference linear_interpolated_key_mapping.rb:35-49,
+    cubically_interpolated_key_mapping.rb:10-67): frexp recovered exactly in
+    SQL — guess e = floor(log2(v)), repair by comparing v against 2^e, then
+    significand s = v/2^e - 1 (exact ops); the polynomial / Cardano-inverse
+    chains below run the identical IEEE op sequence as kernel/mapping.py,
+    so keys and bucket-representative values are bit-identical (verified
+    bin-for-bin in tests)."""
+    from ddsketch_ruby_spark.kernel.mapping import mapping_from_name
+
+    m = mapping_from_name(mapping, ALPHA)
+    mult = m._multiplier
+    coeff = 2.0 / (1.0 + m.gamma)
     g = ", ".join(group_cols)
     g_comma = f"{g}, " if g else ""
     part = f"PARTITION BY {g} " if g else ""
     qvalues = ", ".join(f"('{name}', {q!r})" for name, q in qs.items())
     join_n = f"JOIN n USING ({g})" if g else "CROSS JOIN n"
+
+    if mapping == "logarithmic":
+        hist = f"""
+hist AS (
+  SELECT {g_comma}CAST(CEIL(LN(v) / LN(2.0) * {_dlit(mult)}) AS BIGINT) AS k,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM vals GROUP BY {g_comma}k
+),"""
+        final = (
+            f"SELECT {g_comma}qname, "
+            f"ROUND(POWER({_dlit(m.gamma)}, kq) * {_dlit(coeff)}, 6) AS qvalue "
+            f"FROM keys"
+        )
+    else:
+        if mapping == "linear":
+            poly = "(s + CAST(e AS DOUBLE))"
+        else:
+            A, B, C = m._A, m._B, m._C
+            poly = (
+                f"((({_dlit(A)} * s + {_dlit(B)}) * s + {_dlit(C)}) * s"
+                " + CAST(e AS DOUBLE))"
+            )
+        hist = f"""
+fx0 AS (SELECT {g_comma}v, CAST(FLOOR(LOG2(v)) AS BIGINT) AS eg FROM vals),
+fx1 AS (SELECT {g_comma}v,
+               CASE WHEN POWER(2.0, eg) > v THEN eg - 1
+                    WHEN v / POWER(2.0, eg) >= 2.0 THEN eg + 1
+                    ELSE eg END AS e FROM fx0),
+fx2 AS (SELECT {g_comma}e, v / POWER(2.0, e) - 1.0 AS s FROM fx1),
+hist AS (
+  SELECT {g_comma}CAST(CEIL({poly} * {_dlit(mult)}) AS BIGINT) AS k,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM fx2 GROUP BY {g_comma}k
+),"""
+        if mapping == "linear":
+            final = f""", u AS (
+  SELECT {g_comma}qname, CAST(kq AS DOUBLE) / {_dlit(mult)} AS u FROM keys
+),
+iv AS (SELECT {g_comma}qname, u, FLOOR(u) + 1.0 AS ee FROM u)
+SELECT {g_comma}qname,
+       ROUND((((u - ee + 2.0) / 2.0) * POWER(2.0, ee)) * {_dlit(coeff)}, 6)
+         AS qvalue
+FROM iv"""
+        else:
+            A, B, C = m._A, m._B, m._C
+            d0 = B * B - 3.0 * A * C
+            c1 = 2.0 * B**3 - 9.0 * A * B * C
+            c2 = 27.0 * A * A
+            c3 = 4.0 * d0**3
+            c4 = 3.0 * A
+            final = f""", u AS (
+  SELECT {g_comma}qname, CAST(kq AS DOUBLE) / {_dlit(mult)} AS u FROM keys
+),
+ex AS (SELECT {g_comma}qname, FLOOR(u) AS ee, u - FLOOR(u) AS frac FROM u),
+d1 AS (SELECT {g_comma}qname, ee,
+              {_dlit(c1)} - {_dlit(c2)} * frac AS delta1 FROM ex),
+cb AS (SELECT {g_comma}qname, ee,
+              CBRT((delta1 - SQRT(delta1 * delta1 - {_dlit(c3)})) / 2.0)
+                AS card FROM d1),
+sp AS (SELECT {g_comma}qname, ee,
+              -(({_dlit(B)} + card) + {_dlit(d0)} / card) / {_dlit(c4)} + 1.0
+                AS spo FROM cb)
+SELECT {g_comma}qname,
+       ROUND(((spo / 2.0) * POWER(2.0, ee + 1.0)) * {_dlit(coeff)}, 6)
+         AS qvalue
+FROM sp"""
+
     return f"""
 WITH vals AS (
   SELECT {g_comma}CAST({value_expr} AS DOUBLE) AS v
   FROM {table} WHERE {value_expr} > 0
-),
-hist AS (
-  -- key = ceil(log2(v) * multiplier); LN(v)/LN(2.0) mirrors Spark's LOG2
-  -- implementation (ln ratio) op-for-op so the oracle is bit-compatible
-  -- with the JVM fast path (operators/ddsketch_jvm.py)
-  SELECT {g_comma}CAST(CEIL(LN(v) / LN(2.0) * {MULT!r}) AS BIGINT) AS k,
-         CAST(COUNT(*) AS DOUBLE) AS c
-  FROM vals GROUP BY {g_comma}k
-),
+),{hist}
 cum AS (
   SELECT {g_comma}k, SUM(c) OVER ({part}ORDER BY k) AS rc FROM hist
 ),
@@ -74,8 +168,7 @@ keys AS (
   WHERE cum.rc > qs.q * (n.cnt - 1)
   GROUP BY {g_comma}qs.qname
 )
-SELECT {g_comma}qname, ROUND(POWER({GAMMA!r}, kq) * {COEFF!r}, 6) AS qvalue
-FROM keys
+{final}
 """
 
 
@@ -309,13 +402,85 @@ def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ddsketch_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cubically-interpolated mapping (python/Arrow engine) — rows-only;
-    accuracy bound-checked in pytest."""
-    from ddsketch_ruby_spark.operators.quantiles import ddsketch_quantiles
+    """Cubically-interpolated mapping on the JVM fast path, checked against
+    a DuckDB oracle that replays the exact-frexp key chain and the Cardano
+    bucket-representative inverse bit-for-bit."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_quantiles_long
 
     (events,) = _tables(spark, sf_dir, "events")
-    return ddsketch_quantiles(
-        events, "value", quantiles=(0.5, 0.99), mapping="cubic", engine="python"
+    return ddsketch_quantiles_long(
+        events.filter(F.col("value") > 0), "value", quantiles=_QS,
+        mapping="cubic",
+    )
+
+
+def _q_ddsketch_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-interpolated mapping on the JVM fast path, DuckDB-oracled
+    (exact-frexp keys + linear exp2 inverse)."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_quantiles_long
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return ddsketch_quantiles_long(
+        events.filter(F.col("value") > 0), "value", quantiles=_QS,
+        mapping="linear",
+    )
+
+
+def _q_ddsketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over sketch STATES (operators/rollup.py): build once at
+    (lang, source) grain, fold upward by pure merges — never rescanning —
+    then verify every level against a per-level SQL quantile pipeline.
+    Exercises merge associativity end-to-end."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_state
+    from ddsketch_ruby_spark.operators.rollup import sketch_cube_union
+    from ddsketch_ruby_spark.sketches.ddsketch_spec import DDSketchSpec
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    states = ddsketch_state(
+        docs.filter(F.col("n_chars") > 0), "n_chars", ["lang", "source"],
+        engine="jvm",
+    )
+    spec = DDSketchSpec(
+        quantiles={"q50": 0.5, "q99": 0.99},
+        include_stats=False,
+        value_formula="pow",
+    )
+    cube = sketch_cube_union(states, spec, ["lang", "source"], output="result")
+    return cube.select(
+        F.coalesce("lang", F.lit("ALL")).alias("lang"),
+        F.coalesce("source", F.lit("ALL")).alias("source"),
+        F.expr(
+            "stack(2, 'q50', round(q50, 6), 'q99', round(q99, 6)) "
+            "as (qname, qvalue)"
+        ),
+    )
+
+
+def _q_ddsketch_weighted_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted + grouped sketch with FRACTIONAL weights. Weights are
+    dyadic (l_linenumber / 4) so SUM(w) is exact in float regardless of
+    accumulation order — the only way a cross-engine weighted oracle can be
+    bit-stable."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_quantiles
+
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    wide = ddsketch_quantiles(
+        li.filter(F.col("l_extendedprice") > 0).withColumn(
+            "w", F.col("l_linenumber").cast("double") / F.lit(4.0)
+        ),
+        "l_extendedprice",
+        group_by=["l_linestatus"],
+        quantiles={"q50": 0.5, "q95": 0.95},
+        weight_col="w",
+        include_stats=False,
+        value_formula="pow",
+    )
+    return wide.select(
+        "l_linestatus",
+        F.expr(
+            "stack(2, 'q50', round(q50, 6), 'q95', round(q95, 6)) "
+            "as (qname, qvalue)"
+        ),
     )
 
 
@@ -392,12 +557,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_stats_events": _q_sketch_stats_events,
     "ddsketch_weighted_quantity": _q_ddsketch_weighted,
     "ddsketch_cubic_events": _q_ddsketch_cubic,
-    "ddsketch_linear_events": lambda spark, sf_dir: __import__(
-        "ddsketch_ruby_spark.operators.quantiles", fromlist=["ddsketch_quantiles"]
-    ).ddsketch_quantiles(
-        _tables(spark, sf_dir, "events")[0], "value",
-        quantiles=(0.5, 0.99), mapping="linear", engine="python",
-    ),
+    "ddsketch_linear_events": _q_ddsketch_linear,
+    "ddsketch_rollup_doclen": _q_ddsketch_rollup,
+    "ddsketch_weighted_grouped": _q_ddsketch_weighted_grouped,
     "exact_dedup_documents": _q_exact_dedup_documents,
     "token_stats_by_lang": _q_token_stats_by_lang,
     "langid_documents": _q_langid_documents,
@@ -449,29 +611,68 @@ FROM documents GROUP BY text
 }
 
 
-def _weighted_ddsketch_oracle() -> str:
-    """Weighted DDSketch: histogram of SUM(weight) per key, rank over the
-    weighted cumulative count (kernel quantile semantics, weights > 0)."""
+def _weighted_oracle_sql(
+    value_expr: str,
+    weight_expr: str,
+    table: str,
+    group_cols: list[str],
+    qs: dict[str, float],
+) -> str:
+    """Weighted DDSketch oracle: histogram of SUM(weight) per key, rank
+    over the weighted cumulative count (kernel quantile semantics,
+    weights > 0). Weight expressions must be dyadic-valued so float sums
+    are exact independent of accumulation order."""
+    g = ", ".join(group_cols)
+    g_comma = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    qvalues = ", ".join(f"('{name}', {q!r})" for name, q in qs.items())
+    join_n = f"JOIN n USING ({g})" if g else "CROSS JOIN n"
     return f"""
 WITH vals AS (
-  SELECT CAST(l_quantity AS DOUBLE) AS v,
-         CAST(l_linenumber AS DOUBLE) AS w
-  FROM lineitem WHERE l_quantity > 0
+  SELECT {g_comma}CAST({value_expr} AS DOUBLE) AS v,
+         CAST({weight_expr} AS DOUBLE) AS w
+  FROM {table} WHERE {value_expr} > 0
 ),
 hist AS (
-  SELECT CAST(CEIL(LN(v) / LN(2.0) * {MULT!r}) AS BIGINT) AS k, SUM(w) AS c
-  FROM vals GROUP BY k
+  SELECT {g_comma}CAST(CEIL(LN(v) / LN(2.0) * {_dlit(MULT)}) AS BIGINT) AS k,
+         SUM(w) AS c
+  FROM vals GROUP BY {g_comma}k
 ),
-cum AS (SELECT k, SUM(c) OVER (ORDER BY k) AS rc FROM hist),
-n AS (SELECT SUM(w) AS cnt FROM vals),
-qs(qname, q) AS (VALUES ('q50', 0.5), ('q95', 0.95)),
+cum AS (SELECT {g_comma}k, SUM(c) OVER ({part}ORDER BY k) AS rc FROM hist),
+n AS (SELECT {g_comma}SUM(w) AS cnt FROM vals {("GROUP BY " + g) if g else ""}),
+qs(qname, q) AS (VALUES {qvalues}),
 keys AS (
-  SELECT qs.qname AS qname, MIN(cum.k) AS kq
-  FROM qs CROSS JOIN cum CROSS JOIN n
+  SELECT {g_comma}qs.qname AS qname, MIN(cum.k) AS kq
+  FROM qs CROSS JOIN cum {join_n}
   WHERE cum.rc > qs.q * (n.cnt - 1)
-  GROUP BY qs.qname
+  GROUP BY {g_comma}qs.qname
 )
-SELECT qname, ROUND(POWER({GAMMA!r}, kq) * {COEFF!r}, 6) AS qvalue FROM keys
+SELECT {g_comma}qname, ROUND(POWER({_dlit(GAMMA)}, kq) * {_dlit(COEFF)}, 6)
+  AS qvalue
+FROM keys
+"""
+
+
+def _weighted_ddsketch_oracle() -> str:
+    return _weighted_oracle_sql(
+        "l_quantity", "l_linenumber", "lineitem", [], {"q50": 0.5, "q95": 0.95}
+    )
+
+
+def _rollup_oracle_sql() -> str:
+    """Per-level quantile pipelines UNION'd with NULL padding — the SQL
+    ROLLUP output shape, each level computed independently from raw rows
+    (what the Spark side reproduces by merging finest-grain states)."""
+    qs = {"q50": 0.5, "q99": 0.99}
+    lvl2 = _ddsketch_oracle_sql("n_chars", "documents", ["lang", "source"], qs)
+    lvl1 = _ddsketch_oracle_sql("n_chars", "documents", ["lang"], qs)
+    lvl0 = _ddsketch_oracle_sql("n_chars", "documents", [], qs)
+    return f"""
+SELECT lang, source, qname, qvalue FROM ({lvl2}) t2
+UNION ALL
+SELECT lang, 'ALL' AS source, qname, qvalue FROM ({lvl1}) t1
+UNION ALL
+SELECT 'ALL' AS lang, 'ALL' AS source, qname, qvalue FROM ({lvl0}) t0
 """
 
 
@@ -558,7 +759,7 @@ SELECT vec_id, sim, rank FROM ranked WHERE rank <= 10
 ORACLES.update(
     {
         "ddsketch_bins_events": f"""
-SELECT CAST(CEIL(LN(value) / LN(2.0) * {MULT!r}) AS BIGINT) AS bucket_key,
+SELECT CAST(CEIL(LN(value) / LN(2.0) * {_dlit(MULT)}) AS BIGINT) AS bucket_key,
        CAST(COUNT(*) AS DOUBLE) AS bin_count
 FROM events WHERE value > 0 GROUP BY bucket_key
 """,
@@ -585,6 +786,20 @@ FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
 GROUP BY event_type
 """,
         "ddsketch_weighted_quantity": _weighted_ddsketch_oracle(),
+        "ddsketch_rollup_doclen": _rollup_oracle_sql(),
+        "ddsketch_weighted_grouped": _weighted_oracle_sql(
+            "l_extendedprice",
+            "l_linenumber / 4.0",
+            "lineitem",
+            ["l_linestatus"],
+            {"q50": 0.5, "q95": 0.95},
+        ),
+        "ddsketch_linear_events": _ddsketch_oracle_sql(
+            "value", "events", [], _QS, mapping="linear"
+        ),
+        "ddsketch_cubic_events": _ddsketch_oracle_sql(
+            "value", "events", [], _QS, mapping="cubic"
+        ),
         "token_stats_by_lang": f"""
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -158,9 +158,14 @@ class CubicallyInterpolatedKeyMapping(KeyMapping):
         frac = values - exponent
         delta_0 = B * B - 3.0 * A * C
         delta_1 = 2.0 * B**3 - 9.0 * A * B * C - 27.0 * A * A * frac
-        cardano = np.cbrt(
-            (delta_1 - np.sqrt(delta_1 * delta_1 - 4.0 * delta_0**3)) / 2.0
-        )
+        # libm cbrt, not np.cbrt: numpy's SIMD cbrt can differ from glibc's
+        # in the last ulp; the reference's Math.cbrt (and any SQL oracle's
+        # CBRT) is libm, and this path only ever sees a handful of keys at
+        # quantile-extraction time, so the scalar loop costs nothing.
+        cbrt_arg = (delta_1 - np.sqrt(delta_1 * delta_1 - 4.0 * delta_0**3)) / 2.0
+        cardano = np.array(
+            [math.cbrt(t) for t in np.atleast_1d(cbrt_arg)], dtype=np.float64
+        ).reshape(np.shape(cbrt_arg))
         significand_plus_one = -(B + cardano + delta_0 / cardano) / (3.0 * A) + 1.0
         mantissa = significand_plus_one / 2.0
         return np.ldexp(mantissa, exponent.astype(np.int64) + 1)

@@ -1,8 +1,10 @@
-"""JVM fast path for DDSketch aggregation (logarithmic mapping).
+"""JVM fast path for DDSketch aggregation (all three key mappings).
 
-The insight: with the logarithmic key mapping, the sketch's bucket key is a
-closed-form expression — ``ceil(log2(|v|) * multiplier)`` — so the entire
-histogram build can run inside whole-stage codegen:
+The insight: the sketch's bucket key is a closed-form expression — for the
+logarithmic mapping ``ceil(log2(|v|) * multiplier)``, and for the linearly /
+cubically interpolated mappings a polynomial of the exact (significand,
+exponent) decomposition — so the entire histogram build can run inside
+whole-stage codegen:
 
     groupBy(group, zone, key).agg(sum(w), sum(v*w), min(v), max(v))
 
@@ -24,6 +26,17 @@ exact expression (LN(v)/LN(2)) to be bit-compatible; NumPy's log2 (used by
 the kernel/python path) can differ in the last ulp on bucket boundaries.
 Both paths satisfy the alpha accuracy contract; tests compare them at the
 quantile level, not the bin level.
+
+Interpolated mappings (reference linear_interpolated_key_mapping.rb:35-49,
+cubically_interpolated_key_mapping.rb:10-67) need ``frexp`` — unavailable
+in SQL, but recoverable EXACTLY: guess e = floor(log2(v)) (any log2, even
+one off by an ulp), then correct it by comparing v against 2^e, giving the
+true binade exponent; the significand v / 2^e - 1 is then exact because
+scaling by a power of two and subtracting 1 are exact float ops. Every
+remaining op (polynomial in the significand, + exponent, * multiplier,
+ceil) is the identical IEEE-754 operation sequence the NumPy kernel runs,
+so JVM keys are bit-identical to kernel keys — verified bin-for-bin in
+tests/test_spark_ddsketch.py — and a DuckDB oracle can replicate them.
 """
 
 from __future__ import annotations
@@ -39,7 +52,48 @@ from pyspark.sql import types as T
 from ..kernel import DDSketch
 from ..sketches.ddsketch_spec import DDSketchSpec
 
-__all__ = ["ddsketch_jvm_agg"]
+__all__ = ["ddsketch_jvm_agg", "key_column"]
+
+
+def _exact_exponent(v):
+    """Exact binade exponent e with 2^e <= v < 2^(e+1), as a LONG column.
+
+    floor(log2(v)) from any libm log2 can be off by one near powers of two;
+    comparing v against 2^(guess) repairs it. v must be positive, normal.
+    """
+    eg = F.floor(F.log2(v))
+    p = F.pow(F.lit(2.0), eg.cast("double"))
+    return (
+        F.when(p > v, eg - F.lit(1))
+        .when(v / p >= F.lit(2.0), eg + F.lit(1))
+        .otherwise(eg)
+    )
+
+
+def key_column(mapping, v):
+    """Bucket key of positive column ``v`` under ``mapping``, bit-identical
+    to ``kernel.mapping.KeyMapping.key_batch`` (LONG column).
+
+    Requires integral mapping offset (the operator layer never produces a
+    fractional one; the python engine handles that corner).
+    """
+    mult = mapping._multiplier
+    if mapping.offset != int(mapping.offset):
+        raise ValueError("JVM path requires an integral mapping offset")
+    if mapping.interpolation is None:  # logarithmic
+        raw = F.ceil(F.log2(v) * F.lit(mult))
+    else:
+        e = _exact_exponent(v)
+        ed = e.cast("double")
+        # s = v/2^e - 1 in [0, 1): exact (power-of-two scaling is exact)
+        s = v / F.pow(F.lit(2.0), ed) - F.lit(1.0)
+        if mapping.interpolation == "linear":
+            approx = s + ed
+        else:  # cubic polynomial, same op order as the kernel
+            A, B, C = mapping._A, mapping._B, mapping._C
+            approx = ((F.lit(A) * s + F.lit(B)) * s + F.lit(C)) * s + ed
+        raw = F.ceil(approx * F.lit(mult))
+    return raw + F.lit(int(mapping.offset))
 
 
 def _histogram(
@@ -51,7 +105,6 @@ def _histogram(
 ) -> DataFrame:
     mapping = spec.zero().mapping
     mp = mapping.min_possible
-    mult = mapping._multiplier
 
     v = F.col(value_col).cast("double")
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
@@ -62,7 +115,7 @@ def _histogram(
         .otherwise(F.lit(0))
     )
     key = F.when(zone == 0, F.lit(0).cast("long")).otherwise(
-        F.ceil(F.log2(F.abs(v)) * F.lit(mult)) + F.lit(int(mapping.offset))
+        key_column(mapping, F.abs(v))
     )
     return src.groupBy(
         *group_by, zone.alias("__zone"), key.alias("__key")
@@ -103,11 +156,6 @@ def ddsketch_jvm_agg(
 ) -> DataFrame:
     """JVM-histogram DDSketch aggregation; same output contract as
     operators.agg.sketch_agg with a DDSketchSpec."""
-    if spec.mapping != "logarithmic":
-        raise ValueError(
-            "JVM fast path requires the logarithmic mapping; use the "
-            "python engine for interpolated mappings"
-        )
     group_by = list(group_by)
     hist = _histogram(df, spec, value_col, group_by, weight_col)
 

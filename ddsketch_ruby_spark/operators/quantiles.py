@@ -20,11 +20,13 @@ from .ddsketch_jvm import ddsketch_jvm_agg
 
 
 def _dispatch(engine, df, spec, value_col, group_by, weight_col, output, tree_fanin):
-    """engine: "auto" uses the JVM histogram fast path whenever the mapping
-    allows it (logarithmic), falling back to the python/Arrow two-phase
-    engine for interpolated mappings; "jvm"/"python" force a path."""
+    """engine: "auto" uses the JVM histogram fast path — all three key
+    mappings have closed-form SQL key expressions (interpolated mappings via
+    exact-frexp recovery, see operators/ddsketch_jvm.py) — unless a
+    tree_fanin was explicitly requested, which only the python/Arrow
+    two-phase engine honors; "jvm"/"python" force a path."""
     if engine == "auto":
-        engine = "jvm" if spec.mapping == "logarithmic" else "python"
+        engine = "python" if tree_fanin else "jvm"
     if engine == "jvm":
         return ddsketch_jvm_agg(df, spec, value_col, group_by, weight_col, output)
     if engine == "python":
@@ -84,13 +86,20 @@ def ddsketch_quantiles_long(
     round_to: int = 6,
     tree_fanin: int | None = None,
     engine: str = "auto",
+    mapping: str = "logarithmic",
+    value_formula: str | None = None,
 ) -> DataFrame:
     """Long format: one row per (group, quantile) with columns
-    (group..., qname, qvalue). Uses the 'pow' value formula
-    (gamma**key * 2/(1+gamma)) so an ANSI-SQL oracle with POWER() is
-    bit-compatible; rounded to ``round_to`` decimals on both sides."""
+    (group..., qname, qvalue), rounded to ``round_to`` decimals so an
+    ANSI-SQL oracle is bit-compatible. Default value formula: 'pow'
+    (gamma**key * 2/(1+gamma), mirrors POWER()) for the logarithmic
+    mapping; 'reference' (the mapping's true interpolated inverse, which a
+    SQL oracle replicates op-for-op — see __spark_entry__) for linear and
+    cubic, where the pow formula would not be the bucket representative."""
     group_by = list(group_by)
     qmap = _quantile_map(quantiles)
+    if value_formula is None:
+        value_formula = "pow" if mapping == "logarithmic" else "reference"
     wide = ddsketch_quantiles(
         df,
         value_col,
@@ -98,7 +107,8 @@ def ddsketch_quantiles_long(
         qmap,
         relative_accuracy,
         include_stats=False,
-        value_formula="pow",
+        value_formula=value_formula,
+        mapping=mapping,
         tree_fanin=tree_fanin,
         engine=engine,
     )

@@ -233,6 +233,57 @@ def test_jvm_engine_negative_and_zero(spark):
         assert res[name] == pytest.approx(ref[name], rel=1e-9)
 
 
+@pytest.mark.parametrize("mapping", ["logarithmic", "linear", "cubic"])
+def test_jvm_keys_bit_match_kernel(spark, mapping):
+    """The SQL key expression (operators/ddsketch_jvm.py key_column) must
+    reproduce kernel key_batch BIT-FOR-BIT for every mapping — including
+    binade boundaries, where a naive floor(log2) is off by one. For the
+    interpolated mappings this is what makes a DuckDB oracle possible."""
+    from ddsketch_ruby_spark.kernel.mapping import mapping_from_name
+    from ddsketch_ruby_spark.operators.ddsketch_jvm import key_column
+
+    rng = np.random.default_rng(7)
+    exps = np.arange(-60, 61, dtype=np.float64)
+    vals = np.concatenate(
+        [
+            2.0**exps,
+            np.nextafter(2.0**exps, 0.0),
+            np.nextafter(2.0**exps, np.inf),
+            rng.lognormal(3, 4, 4000),
+            np.array([1.0, 1.5, 2.0, 1e-9, 1e9, 5.0, 0.1]),
+        ]
+    )
+    m = mapping_from_name(mapping, ALPHA)
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = {
+        float(r.v): int(r.k)
+        for r in df.select("v", key_column(m, F.col("v")).alias("k")).collect()
+    }
+    kern = {float(v): int(k) for v, k in zip(vals, m.key_batch(vals))}
+    mism = {v: (got[v], kern[v]) for v in kern if got[v] != kern[v]}
+    assert not mism, list(mism.items())[:5]
+
+
+@pytest.mark.parametrize("mapping", ["linear", "cubic"])
+def test_jvm_engine_interpolated_matches_python(spark, events, mapping):
+    """Interpolated mappings on the JVM path agree with the Arrow two-phase
+    engine EXACTLY (keys are bit-identical to the kernel, unlike the
+    logarithmic path's documented log2-ulp slack)."""
+    kw = dict(quantiles=QS, mapping=mapping, value_formula="reference")
+    a = ddsketch_quantiles(events, "value", engine="jvm", **kw).collect()[0].asDict()
+    b = ddsketch_quantiles(events, "value", engine="python", **kw).collect()[0].asDict()
+    from ddsketch_ruby_spark.sketches.ddsketch_spec import quantile_col_name
+
+    for q in QS:  # bucket-exact: identical keys -> identical values
+        name = quantile_col_name(q)
+        assert a[name] == b[name], (name, a[name], b[name])
+    assert a["count"] == b["count"]
+    assert a["min"] == b["min"] and a["max"] == b["max"]
+    # sum/avg accumulate in different orders across engines (float
+    # non-associativity) — equal to rounding only
+    assert a["sum"] == pytest.approx(b["sum"], rel=1e-12)
+
+
 def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
     """Hive/Iceberg-style partitioned layout: a lang filter must prune
     partitions at the scan (the single biggest I/O lever at 100 TB)."""
