@@ -10,20 +10,35 @@
   rerank. At 100 TB the bucket column is precomputed/partitioned-by so a
   query touches only matching partitions (partition pruning), turning a
   full-corpus scan into a bucket lookup.
-- ivf_topk: IVF-style coarse quantizer (k-means-lite centroids trained on a
-  sample) + nprobe nearest cells, exact rerank within cells.
+- ivf_topk: IVF-style coarse quantizer — k-means centroids (k-means++ init,
+  several Lloyd iterations, empty-cell reseeding) trained on a driver-side
+  sample — + nprobe nearest cells, exact rerank within cells.
+- ivf_write_index / ivf_topk_indexed: the 100 TB shape — persist the corpus
+  partitioned BY CELL with the centroids alongside, so a query reads only
+  nprobe partitions (partition pruning at the scan, verified in tests)
+  instead of the full corpus.
 """
 
 from __future__ import annotations
 
+import json
 import math
 from typing import Sequence
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "lsh_bucket", "lsh_topk", "ivf_topk"]
+__all__ = [
+    "cosine_topk",
+    "lsh_bucket",
+    "lsh_topk",
+    "ivf_train",
+    "ivf_assign",
+    "ivf_topk",
+    "ivf_write_index",
+    "ivf_topk_indexed",
+]
 
 
 def _cosine_col(vec_col: str, query: Sequence[float]):
@@ -122,39 +137,66 @@ def lsh_topk(
     return cosine_topk(cand, vec_col, id_col, query, k, round_to)
 
 
-def ivf_topk(
+def ivf_train(
     df: DataFrame,
     vec_col: str,
-    id_col: str,
-    query: Sequence[float],
-    k: int = 10,
     n_cells: int = 16,
-    nprobe: int = 4,
+    iters: int = 10,
     sample_fraction: float = 0.2,
+    sample_limit: int = 20000,
     seed: int = 42,
-    round_to: int = 6,
-) -> DataFrame:
-    """IVF-lite ANN: coarse centroids from a driver-side sample (one k-means
-    iteration from random seeds — deterministic), cell assignment JVM-side,
-    exact rerank within the ``nprobe`` cells nearest to the query."""
+) -> np.ndarray:
+    """Train IVF coarse centroids: k-means on a driver-side sample with
+    k-means++ seeding, ``iters`` Lloyd iterations, and empty-cell reseeding
+    to the farthest point. Deterministic for a fixed seed.
+
+    The sample is bounded (``sample_limit`` rows) so training cost is
+    independent of corpus size — at 10^12 docs you train on the same 20k
+    rows; only assignment (ivf_assign) scans the corpus."""
     sample = np.array(
         df.select(vec_col)
         .sample(fraction=sample_fraction, seed=seed)
-        .limit(5000)
+        .limit(sample_limit)
         .collect()
     )[:, 0]
     sample = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
+    n = len(sample)
+    k = min(n_cells, n)
     rng = np.random.default_rng(seed)
-    centroids = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
-    # one Lloyd iteration for stability
-    d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
-    assign = d2.argmin(1)
-    for c in range(len(centroids)):
-        pts = sample[assign == c]
-        if len(pts):
-            centroids[c] = pts.mean(0)
 
-    # nearest cell assignment as a JVM expression (argmin over n_cells dots)
+    # k-means++ seeding
+    centroids = np.empty((k, sample.shape[1]))
+    centroids[0] = sample[rng.integers(n)]
+    d2 = ((sample - centroids[0]) ** 2).sum(-1)
+    for c in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centroids[c] = sample[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, ((sample - centroids[c]) ** 2).sum(-1))
+
+    for _ in range(iters):
+        dist = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        assign = dist.argmin(1)
+        moved = False
+        for c in range(k):
+            pts = sample[assign == c]
+            if len(pts):
+                new = pts.mean(0)
+            else:  # reseed empty cell at the globally farthest point
+                new = sample[dist.min(1).argmax()]
+            if not np.array_equal(new, centroids[c]):
+                centroids[c] = new
+                moved = True
+        if not moved:
+            break
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, centroids: np.ndarray, cell_col: str = "__cell"
+) -> DataFrame:
+    """Adds the nearest-centroid cell id as a column. All JVM-side: an
+    array of n_cells squared distances (each computed once), argmin via
+    array_position(array_min) — no UDF, no shuffle."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
     def dist2(cent: np.ndarray):
@@ -165,17 +207,89 @@ def ivf_topk(
             lambda acc, x: acc + x,
         )
 
-    best_cell = F.lit(0)
-    best_d = dist2(centroids[0])
-    for ci in range(1, len(centroids)):
-        d = dist2(centroids[ci])
-        cond = d < best_d
-        best_cell = F.when(cond, F.lit(ci)).otherwise(best_cell)
-        best_d = F.when(cond, d).otherwise(best_d)
+    dists = F.array(*[dist2(c) for c in centroids])
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return df.withColumn(cell_col, cell)
 
+
+def _probe_cells(
+    centroids: np.ndarray, query: Sequence[float], nprobe: int
+) -> list[int]:
     qd = ((centroids - np.asarray(query, dtype=np.float64)) ** 2).sum(1)
-    probe_cells = [int(c) for c in np.argsort(qd)[:nprobe]]
-    cand = df.withColumn("__cell", best_cell).filter(
-        F.col("__cell").isin(probe_cells)
+    return [int(c) for c in np.argsort(qd)[:nprobe]]
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 10,
+    sample_fraction: float = 0.2,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF ANN in one shot: train on a sample, assign JVM-side, exact
+    rerank within the ``nprobe`` cells nearest to the query."""
+    centroids = ivf_train(
+        df, vec_col, n_cells, iters, sample_fraction, seed=seed
+    )
+    cand = ivf_assign(df, vec_col, centroids).filter(
+        F.col("__cell").isin(_probe_cells(centroids, query, nprobe))
     )
     return cosine_topk(cand, vec_col, id_col, query, k, round_to)
+
+
+def ivf_write_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    n_cells: int = 16,
+    iters: int = 10,
+    sample_fraction: float = 0.2,
+    seed: int = 42,
+) -> np.ndarray:
+    """Persist an IVF index: the corpus parquet PARTITIONED BY cell, with
+    the trained centroids stored alongside (centroids.json). Build once,
+    then every query is a partition-pruned read of nprobe cells — at corpus
+    scale this is the difference between scanning 100 TB and scanning
+    nprobe/n_cells of it. Returns the centroids."""
+    centroids = ivf_train(df, vec_col, n_cells, iters, sample_fraction, seed=seed)
+    assigned = ivf_assign(df, vec_col, centroids, cell_col="cell")
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(
+        f"{path}/corpus"
+    )
+    # tiny metadata file next to the data (same layout Iceberg would keep
+    # in table properties)
+    meta = {"centroids": centroids.tolist(), "vec_col": vec_col}
+    spark = df.sparkSession
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{path}/centroids.json")
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Query a persisted IVF index: the cell filter is on a PARTITION
+    column, so Spark prunes non-probed cells at planning time (verify with
+    .explain -> 'PartitionFilters: [cell IN ...]'); only nprobe/n_cells of
+    the data is ever read."""
+    raw = spark.read.text(f"{path}/centroids.json").collect()
+    meta = json.loads(raw[0].value)
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    corpus = spark.read.parquet(f"{path}/corpus")
+    cand = corpus.filter(
+        F.col("cell").isin(_probe_cells(centroids, query, nprobe))
+    )
+    return cosine_topk(cand, meta["vec_col"], id_col, query, k, round_to)

@@ -233,6 +233,48 @@ def test_ivf_topk_recall(spark, planted):
     assert len(exact & approx) >= 6
 
 
+def test_ivf_train_clusters_planted(spark, planted):
+    """Multi-iteration Lloyd must put the 8 planted near-dups in ONE cell
+    (they form a tight cluster) and converge deterministically."""
+    from ddsketch_ruby_spark.operators.similarity import ivf_assign, ivf_train
+
+    df, query, rows = planted
+    c1 = ivf_train(df, "embedding", n_cells=8, iters=10, sample_fraction=1.0)
+    c2 = ivf_train(df, "embedding", n_cells=8, iters=10, sample_fraction=1.0)
+    assert np.array_equal(c1, c2)  # deterministic
+    cells = {
+        r["vec_id"]: r["__cell"]
+        for r in ivf_assign(df, "embedding", c1).collect()
+    }
+    planted_cells = {cells[1000 + j] for j in range(8)}
+    assert len(planted_cells) == 1, planted_cells
+
+
+def test_ivf_index_partition_pruning(spark, planted, tmp_path):
+    """Persisted IVF index: querying must (a) return the planted
+    neighbors, (b) prune non-probed cells at the SCAN via the partition
+    column — the 100 TB read-volume lever."""
+    from ddsketch_ruby_spark.operators.similarity import (
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+
+    df, query, rows = planted
+    path = str(tmp_path / "ivf")
+    ivf_write_index(df, path, "embedding", n_cells=8, iters=10,
+                    sample_fraction=1.0)
+    res = ivf_topk_indexed(spark, path, "vec_id", query, k=8, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, plan
+    got = {r["vec_id"] for r in res.collect()}
+    exact = set(_exact_topk(rows, query, 8))
+    assert len(exact & got) >= 6
+    # pruned read: only the probed partitions' files are listed
+    corpus = spark.read.parquet(f"{path}/corpus")
+    n_cells_on_disk = corpus.select("cell").distinct().count()
+    assert n_cells_on_disk > 2  # there genuinely was something to prune
+
+
 def test_lsh_scans_subset(spark, emb):
     """On the driver's (near-random) embeddings the value of LSH is the
     candidate-set reduction; verify the bucket filter actually prunes."""
