@@ -52,7 +52,7 @@ from pyspark.sql import types as T
 from ..kernel import DDSketch
 from ..sketches.ddsketch_spec import DDSketchSpec
 
-__all__ = ["ddsketch_jvm_agg", "key_column"]
+__all__ = ["ddsketch_jvm_agg", "key_column", "histogram_rows", "assemble_histogram"]
 
 
 def _exact_exponent(v):
@@ -146,20 +146,31 @@ def _assemble_state(spec: DDSketchSpec, pdf: pd.DataFrame) -> DDSketch:
     return s
 
 
-def ddsketch_jvm_agg(
+def histogram_rows(
     df: DataFrame,
     spec: DDSketchSpec,
     value_col: str,
     group_by: Iterable[str] = (),
     weight_col: str | None = None,
+) -> DataFrame:
+    """The raw bucket-histogram rows (group..., __zone, __key, __cnt,
+    __svw, __minv, __maxv) — the sketch's shuffle-time representation.
+    Exposed so streaming queries can run the same JVM aggregation and
+    assemble sketches downstream (streaming/sketch_stream.py)."""
+    return _histogram(df, spec, value_col, list(group_by), weight_col)
+
+
+def assemble_histogram(
+    hist: DataFrame,
+    spec: DDSketchSpec,
+    group_by: Iterable[str] = (),
     output: str = "result",
 ) -> DataFrame:
-    """JVM-histogram DDSketch aggregation; same output contract as
-    operators.agg.sketch_agg with a DDSketchSpec."""
+    """Fold histogram_rows output into one sketch row per group. Correct
+    over PARTIAL histograms too (duplicate (group, zone, key) rows just
+    re-merge — bucket addition is the monoid op)."""
     group_by = list(group_by)
-    hist = _histogram(df, spec, value_col, group_by, weight_col)
-
-    by_name = {f.name: f for f in df.schema.fields}
+    by_name = {f.name: f for f in hist.schema.fields}
     group_fields = [by_name[g] for g in group_by]
     if output == "state":
         out_schema = T.StructType(group_fields + spec.state_fields())
@@ -182,3 +193,18 @@ def ddsketch_jvm_agg(
         lambda pdf: assemble(pdf.drop(columns=["__g"], errors="ignore")),
         schema=out_schema,
     )
+
+
+def ddsketch_jvm_agg(
+    df: DataFrame,
+    spec: DDSketchSpec,
+    value_col: str,
+    group_by: Iterable[str] = (),
+    weight_col: str | None = None,
+    output: str = "result",
+) -> DataFrame:
+    """JVM-histogram DDSketch aggregation; same output contract as
+    operators.agg.sketch_agg with a DDSketchSpec."""
+    group_by = list(group_by)
+    hist = _histogram(df, spec, value_col, group_by, weight_col)
+    return assemble_histogram(hist, spec, group_by, output)

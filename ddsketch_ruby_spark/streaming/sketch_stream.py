@@ -28,7 +28,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..sketches.base import SketchSpec
 
-__all__ = ["sketch_stream_agg", "sketch_stream_windowed", "stream_exact_dedup"]
+__all__ = [
+    "sketch_stream_agg",
+    "sketch_stream_windowed",
+    "stream_exact_dedup",
+    "sketch_stream_hist",
+    "stream_stream_latency_join",
+]
 
 
 def stream_exact_dedup(
@@ -118,6 +124,109 @@ def sketch_stream_agg(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def sketch_stream_hist(
+    stream_df: DataFrame,
+    spec: "DDSketchSpec",
+    value_col: str,
+    ts_col: str,
+    window: str = "1 minute",
+    watermark: str | None = "5 minutes",
+    group_by: Iterable[str] = (),
+) -> DataFrame:
+    """Streaming DDSketch via the JVM histogram path — NO Python in the
+    stream at all. The stateful operator is a plain watermarked windowed
+    groupBy on (window, group, zone, bucket-key): state per group is
+    bounded by the bucket count (<= ~2*bin_limit rows), Spark ages closed
+    windows out with the watermark, and append mode emits each window's
+    final bucket rows exactly once. Assemble the emitted rows into sketch
+    results with ``operators.ddsketch_jvm.assemble_histogram`` (batch side,
+    e.g. in foreachBatch or on the sink table).
+
+    Because this is a built-in streaming aggregation (not
+    applyInPandasWithState), it composes with other stateful operators —
+    in particular it can run downstream of stream_stream_latency_join —
+    pass ``watermark=None`` there: redefining a watermark below another
+    stateful operator is disallowed; the upstream one propagates.
+    Output columns: window_start, window_end, group..., __zone, __key,
+    __cnt, __svw, __minv, __maxv.
+    """
+    from ..operators.ddsketch_jvm import histogram_rows
+
+    group_by = list(group_by)
+    if watermark is not None:
+        # (the cast would strip an upstream watermark's event-time tag, so
+        # it only happens on the path that defines its own watermark)
+        src = stream_df.withColumn(
+            ts_col, F.col(ts_col).cast("timestamp")
+        ).withWatermark(ts_col, watermark)
+    else:
+        src = stream_df
+    windowed = src.select(
+        F.window(ts_col, window).alias("__win"), *group_by, value_col
+    )
+    hist = histogram_rows(windowed, spec, value_col, ["__win", *group_by])
+    return hist.select(
+        F.col("__win.start").alias("window_start"),
+        F.col("__win.end").alias("window_end"),
+        *group_by,
+        "__zone",
+        "__key",
+        "__cnt",
+        "__svw",
+        "__minv",
+        "__maxv",
+    )
+
+
+def stream_stream_latency_join(
+    requests: DataFrame,
+    responses: DataFrame,
+    key_cols: Iterable[str],
+    req_ts_col: str,
+    resp_ts_col: str,
+    within: str = "10 minutes",
+    watermark: str = "10 minutes",
+    latency_col: str = "latency_s",
+) -> DataFrame:
+    """Stream-stream inner join of a request stream and a response stream
+    on key equality + a bounded event-time range (response no earlier than
+    the request and at most ``within`` later), emitting per-pair latency in
+    seconds — the canonical DDSketch input. Both sides are watermarked so
+    the join state is bounded: Spark drops request state once no matching
+    response can still arrive.
+
+    Returns (key..., req_ts, resp_ts, latency_s); feed into
+    sketch_stream_hist on ``latency_s`` with ``resp_ts`` as event time.
+    """
+    key_cols = list(key_cols)
+    req = requests.withColumn(
+        req_ts_col, F.col(req_ts_col).cast("timestamp")
+    ).withWatermark(req_ts_col, watermark)
+    resp = responses.withColumn(
+        resp_ts_col, F.col(resp_ts_col).cast("timestamp")
+    ).withWatermark(resp_ts_col, watermark)
+    # disambiguate key columns for the join condition
+    resp_renamed = resp
+    for kc in key_cols:
+        resp_renamed = resp_renamed.withColumnRenamed(kc, f"__r_{kc}")
+    cond = F.lit(True)
+    for kc in key_cols:
+        cond = cond & (F.col(kc) == F.col(f"__r_{kc}"))
+    cond = (
+        cond
+        & (F.col(resp_ts_col) >= F.col(req_ts_col))
+        & (F.col(resp_ts_col) <= F.col(req_ts_col) + F.expr(f"INTERVAL {within}"))
+    )
+    joined = req.join(resp_renamed, cond, "inner")
+    latency = (
+        (
+            F.unix_micros(F.col(resp_ts_col)) - F.unix_micros(F.col(req_ts_col))
+        ).cast("double")
+        / F.lit(1_000_000.0)
+    ).alias(latency_col)
+    return joined.select(*key_cols, req_ts_col, resp_ts_col, latency)
 
 
 def sketch_stream_windowed(

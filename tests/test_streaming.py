@@ -208,3 +208,90 @@ def test_stream_hll(spark, stream_dir):
     for _, row in final.iterrows():
         d_ = exact[row["event_type"]]
         assert abs(row["approx_distinct"] - d_) / d_ < 0.1
+
+
+def test_stream_stream_latency_join_hist(spark, tmp_path):
+    """Request/response stream-stream join -> per-window latency DDSketch
+    through the PURE-JVM streaming histogram (no Python state operator),
+    assembled batch-side and checked against the identical batch pipeline.
+    Exercises chained stateful operators (join + windowed agg)."""
+    from ddsketch_ruby_spark.operators.ddsketch_jvm import (
+        assemble_histogram,
+        ddsketch_jvm_agg,
+    )
+    from ddsketch_ruby_spark.streaming.sketch_stream import (
+        sketch_stream_hist,
+        stream_stream_latency_join,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    req = events.select(
+        F.col("event_id").alias("rid"),
+        F.col("ts").cast("timestamp").alias("req_ts"),
+    )
+    # response lands `value` seconds later (deterministic latency payload)
+    resp = events.select(
+        F.col("event_id").alias("rid"),
+        (
+            F.col("ts").cast("timestamp")
+            + F.make_interval(secs=F.col("value"))
+        ).alias("resp_ts"),
+    )
+    # sentinel pair far in the future: pushes both watermarks past every
+    # real window so append mode emits them all under availableNow
+    last_ts = events.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    sentinel_req = spark.createDataFrame(
+        [(int(10**9), last_ts)], "rid long, req_ts timestamp"
+    ).select("rid", (F.col("req_ts") + F.expr("INTERVAL 30 DAYS")).alias("req_ts"))
+    sentinel_resp = sentinel_req.select(
+        "rid", F.col("req_ts").alias("resp_ts")
+    )
+
+    req_dir, resp_dir = str(tmp_path / "req"), str(tmp_path / "resp")
+    for i in range(2):
+        req.filter(f"rid % 2 = {i}").coalesce(1).write.mode("append").parquet(req_dir)
+        resp.filter(f"rid % 2 = {i}").coalesce(1).write.mode("append").parquet(resp_dir)
+    sentinel_req.write.mode("append").parquet(req_dir)
+    sentinel_resp.write.mode("append").parquet(resp_dir)
+
+    spec = DDSketchSpec(0.01, quantiles={"q50": 0.5, "q99": 0.99})
+    sreq = spark.readStream.schema(req.schema).option("maxFilesPerTrigger", 2).parquet(req_dir)
+    sresp = spark.readStream.schema(resp.schema).option("maxFilesPerTrigger", 2).parquet(resp_dir)
+    joined = stream_stream_latency_join(
+        sreq, sresp, ["rid"], "req_ts", "resp_ts",
+        within="10 minutes", watermark="0 seconds",
+    )
+    hist = sketch_stream_hist(
+        joined, spec, "latency_s", "resp_ts",
+        window="1 day", watermark=None,  # join's watermark propagates
+    )
+    q = (
+        hist.writeStream.format("memory")
+        .queryName("ssj_hist")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.sql("select * from ssj_hist").where("window_start < timestamp'2100-01-01'")
+    got = {
+        (r["window_start"],): (round(r["q50"], 9), round(r["q99"], 9), r["count"])
+        for r in assemble_histogram(emitted, spec, ["window_start"]).collect()
+    }
+
+    # batch oracle: same join + same windows, straight through the JVM agg
+    bjoined = req.join(resp, "rid").where(
+        (F.col("resp_ts") >= F.col("req_ts"))
+        & (F.col("resp_ts") <= F.col("req_ts") + F.expr("INTERVAL 10 minutes"))
+    ).select(
+        F.window("resp_ts", "1 day").getField("start").alias("window_start"),
+        (
+            (F.unix_micros("resp_ts") - F.unix_micros("req_ts")).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("latency_s"),
+    )
+    ref = {
+        (r["window_start"],): (round(r["q50"], 9), round(r["q99"], 9), r["count"])
+        for r in ddsketch_jvm_agg(bjoined, spec, "latency_s", ["window_start"]).collect()
+    }
+    assert got == ref and len(ref) >= 2, (len(got), len(ref))
