@@ -484,6 +484,29 @@ def _q_ddsketch_weighted_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ddsketch_q_of_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-of-quantiles (fleet-health shape): q50/q99 across per-user
+    q95 event values. Oracle = the SQL quantile pipeline nested twice."""
+    from ddsketch_ruby_spark.operators.quantiles import (
+        ddsketch_quantile_of_quantiles,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    wide = ddsketch_quantile_of_quantiles(
+        events.filter(F.col("value") > 0),
+        "value",
+        inner_group_by=["user_id"],
+        inner_quantile=0.95,
+        quantiles={"q50": 0.5, "q99": 0.99},
+    )
+    return wide.select(
+        F.expr(
+            "stack(2, 'q50', round(q50, 6), 'q99', round(q99, 6)) "
+            "as (qname, qvalue)"
+        )
+    )
+
+
 def _q_ddsketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed sketches: per-day latency quantiles over the events
     stream table (the hypertable-rollup shape)."""
@@ -559,6 +582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_cubic_events": _q_ddsketch_cubic,
     "ddsketch_linear_events": _q_ddsketch_linear,
     "ddsketch_rollup_doclen": _q_ddsketch_rollup,
+    "ddsketch_q_of_q_user_value": _q_ddsketch_q_of_q,
     "ddsketch_weighted_grouped": _q_ddsketch_weighted_grouped,
     "exact_dedup_documents": _q_exact_dedup_documents,
     "token_stats_by_lang": _q_token_stats_by_lang,
@@ -787,6 +811,14 @@ GROUP BY event_type
 """,
         "ddsketch_weighted_quantity": _weighted_ddsketch_oracle(),
         "ddsketch_rollup_doclen": _rollup_oracle_sql(),
+        "ddsketch_q_of_q_user_value": _ddsketch_oracle_sql(
+            "qvalue",
+            "("
+            + _ddsketch_oracle_sql("value", "events", ["user_id"], {"iq": 0.95})
+            + ") AS inner_q",
+            [],
+            {"q50": 0.5, "q99": 0.99},
+        ),
         "ddsketch_weighted_grouped": _weighted_oracle_sql(
             "l_extendedprice",
             "l_linenumber / 4.0",

@@ -35,7 +35,13 @@ def _dispatch(engine, df, spec, value_col, group_by, weight_col, output, tree_fa
         )
     raise ValueError("engine must be 'auto', 'jvm', or 'python'")
 
-__all__ = ["ddsketch_quantiles", "ddsketch_quantiles_long", "ddsketch_multi", "ddsketch_state"]
+__all__ = [
+    "ddsketch_quantiles",
+    "ddsketch_quantiles_long",
+    "ddsketch_multi",
+    "ddsketch_state",
+    "ddsketch_quantile_of_quantiles",
+]
 
 
 def _quantile_map(quantiles) -> dict[str, float]:
@@ -152,6 +158,53 @@ def ddsketch_multi(
         quantiles,
         relative_accuracy,
         include_stats=include_stats,
+        engine=engine,
+    )
+
+
+def ddsketch_quantile_of_quantiles(
+    df: DataFrame,
+    value_col: str,
+    inner_group_by: Iterable[str],
+    inner_quantile: float = 0.99,
+    quantiles: Iterable[float] | dict[str, float] = (0.5, 0.95, 0.99),
+    relative_accuracy: float = DEFAULT_REL_ACC,
+    outer_group_by: Iterable[str] = (),
+    round_inner_to: int = 6,
+    engine: str = "auto",
+) -> DataFrame:
+    """Two-level composition: per-inner-group quantile, then the
+    distribution OF those quantiles — e.g. "p95 across per-host p99
+    latencies", the fleet-health query shape.
+
+    Both levels are ordinary distributed sketch aggregations (the inner
+    one emits one row per inner group — millions of hosts is still a
+    trivial second pass), and both use the 'pow' value formula with the
+    inner values rounded to ``round_inner_to``, so the whole composition
+    is reproducible by nesting two copies of the SQL oracle pipeline
+    (__spark_entry__ ddsketch_q_of_q oracle)."""
+    inner_group_by = list(inner_group_by)
+    outer_group_by = list(outer_group_by)
+    inner = ddsketch_quantiles(
+        df,
+        value_col,
+        inner_group_by + outer_group_by,
+        {"__iq": inner_quantile},
+        relative_accuracy,
+        include_stats=False,
+        value_formula="pow",
+        engine=engine,
+    ).select(
+        *outer_group_by, F.round("__iq", round_inner_to).alias("__iq")
+    )
+    return ddsketch_quantiles(
+        inner,
+        "__iq",
+        outer_group_by,
+        quantiles,
+        relative_accuracy,
+        include_stats=False,
+        value_formula="pow",
         engine=engine,
     )
 

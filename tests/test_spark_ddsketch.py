@@ -335,3 +335,32 @@ def test_ddsketch_multi_one_pass(spark, events):
     assert multi[("double_value",)]["count"] == single["count"]
     # doubled measure: quantile within alpha of 2x
     assert abs(multi[("double_value",)]["q50"] - 2 * single["q50"]) <= 0.03 * 2 * single["q50"]
+
+
+def test_quantile_of_quantiles_grouped(spark, events):
+    """q-of-q with an outer dimension: per event_type, the q50 across
+    per-user q95s — equals composing the two sketch passes by hand."""
+    from ddsketch_ruby_spark.operators.quantiles import (
+        ddsketch_quantile_of_quantiles,
+    )
+
+    df = events.filter(F.col("value") > 0)
+    got = {
+        r["event_type"]: r["q50"]
+        for r in ddsketch_quantile_of_quantiles(
+            df, "value", ["user_id"], 0.95, {"q50": 0.5},
+            outer_group_by=["event_type"],
+        ).collect()
+    }
+    inner = ddsketch_quantiles(
+        df, "value", ["user_id", "event_type"], {"__iq": 0.95},
+        include_stats=False, value_formula="pow",
+    ).select("event_type", F.round("__iq", 6).alias("__iq"))
+    ref = {
+        r["event_type"]: r["q50"]
+        for r in ddsketch_quantiles(
+            inner, "__iq", ["event_type"], {"q50": 0.5},
+            include_stats=False, value_formula="pow",
+        ).collect()
+    }
+    assert got == ref and len(got) >= 3
