@@ -66,6 +66,10 @@ def main() -> None:
         "ddsketch_events_by_type": lambda: ddsketch_quantiles(
             events, "value", group_by=["event_type"], quantiles=(0.5, 0.95, 0.99)
         ).collect(),
+        "ddsketch_cubic_events": lambda: ddsketch_quantiles(
+            events, "value", quantiles=(0.5, 0.99), mapping="cubic",
+            value_formula="reference",
+        ).collect(),
         "ddsketch_lineitem_by_flag": lambda: ddsketch_quantiles_long(
             lineitem.filter(F.col("l_extendedprice") > 0),
             "l_extendedprice",
