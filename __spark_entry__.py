@@ -602,6 +602,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _tables(spark, sf_dir, "embeddings")[0], "embedding", "vec_id",
         min_cosine=0.3, n_planes=6,
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine")),
+    "cosine_allpairs_dup": lambda spark, sf_dir: __import__(
+        "ddsketch_ruby_spark.operators.dedup", fromlist=["cosine_pairs_exact"]
+    ).cosine_pairs_exact(
+        _tables(spark, sf_dir, "embeddings")[0], "embedding", "vec_id",
+        min_cosine=0.3,
+    ),
     "simhash_documents": _q_simhash_documents,
     "doc_fingerprints": _q_doc_fingerprints,
     "hll_users_by_type": _q_hll_users_by_type,
@@ -761,6 +767,228 @@ FROM per_doc GROUP BY lang
 """.replace("{ns}", _NSPACES.replace("text", "text"))
 
 
+# ---------------------------------------------------------------------------
+# Pure-SQL xxhash64 (Spark-compatible, seed 42, BIGINT input) and the
+# hash-sketch oracles it unlocks (HLL / count-min / Bloom). All 64-bit
+# arithmetic is emulated exactly: multiplies split into 32-bit halves so the
+# 128-bit intermediates fit DuckDB's signed HUGEINT, everything reduced
+# mod 2^64. Verified bit-for-bit against F.xxhash64 in
+# tests/test_sql_hash_oracles.py.
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M61 = (1 << 61) - 1
+
+
+def _u64mul(a: str, b: int) -> str:
+    """(column expr a) * (python constant b) mod 2^64."""
+    b = b % (1 << 64)
+    bl, bh = b & 0xFFFFFFFF, b >> 32
+    return (
+        f"CAST((CAST(({a}) & 4294967295 AS HUGEINT) * {bl} + "
+        f"((CAST(({a}) & 4294967295 AS HUGEINT) * {bh} + "
+        f"CAST(({a}) >> 32 AS HUGEINT) * {bl}) % 4294967296) * 4294967296) "
+        f"% 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def _u64add(a: str, b) -> str:
+    return (
+        f"CAST((CAST({a} AS HUGEINT) + CAST({b} AS HUGEINT)) "
+        f"% 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def _u64rotl(x: str, r: int) -> str:
+    return f"({_u64mul(x, 1 << r)} | (({x}) >> {64 - r}))"
+
+
+def _xxh64_chain(prefix: str, src_cte: str) -> tuple[str, str, str]:
+    """CTE chain computing Spark xxhash64 of BIGINT column ``x`` in
+    ``src_cte`` (all other columns carried through). Returns
+    (sql_fragment_to_append, final_cte_name, hash_column_name)."""
+    acc0 = (42 + _XXP5 + 8) % (1 << 64)
+    s = lambda i: f"{prefix}_s{i}"  # noqa: E731
+    steps = [
+        f"CAST(CASE WHEN x >= 0 THEN CAST(x AS HUGEINT) "
+        f"ELSE CAST(x AS HUGEINT) + 18446744073709551616 END AS UBIGINT)",
+        _u64mul(_u64rotl(_u64mul(s(0), _XXP2), 31), _XXP1),
+        f"xor(CAST({acc0} AS UBIGINT), {s(1)})",
+        _u64add(_u64mul(_u64rotl(s(2), 27), _XXP1), _XXP4),
+        _u64mul(f"xor({s(3)}, {s(3)} >> 33)", _XXP2),
+        _u64mul(f"xor({s(4)}, {s(4)} >> 29)", _XXP3),
+    ]
+    frag = ""
+    prev = src_cte
+    for i, expr in enumerate(steps):
+        cte = f"{prefix}{i}"
+        frag += f",\n{cte} AS (SELECT *, {expr} AS {s(i)} FROM {prev})"
+        prev = cte
+    hcol = f"{prefix}_h"
+    frag += (
+        f",\n{prefix}F AS (SELECT *, xor({s(5)}, {s(5)} >> 32) AS {hcol} "
+        f"FROM {prev})"
+    )
+    return frag, f"{prefix}F", hcol
+
+
+def _hll_oracle_sql() -> str:
+    """HLL estimate per event_type, reproduced entirely in SQL: xxhash64 →
+    register index / rank-of-first-one (exact bit_length via floor(log2)
+    repair) → max per register → the kernel's exact-integer indicator sum
+    and linear-counting branch (sketches/hll.py hll_estimate)."""
+    from ddsketch_ruby_spark.sketches.hll import HLLSpec, _alpha_m
+
+    spec = HLLSpec(p=14)
+    p, m = spec.p, spec.m
+    width = 64 - p
+    R = width + 1
+    am2 = _alpha_m(m) * m * m
+    frag, fin, h = _xxh64_chain("xh", "src")
+    return f"""
+WITH src AS (SELECT event_type, user_id AS x FROM events){frag},
+rh AS (
+  SELECT event_type, {h} >> {width} AS idx,
+         {h} & {(1 << width) - 1} AS low
+  FROM {fin}
+),
+bl AS (
+  SELECT event_type, idx,
+    CASE WHEN low = 0 THEN 0
+         ELSE CAST(FLOOR(LOG2(CAST(low AS DOUBLE))) AS BIGINT) END AS g,
+    low
+  FROM rh
+),
+rho AS (
+  SELECT event_type, idx,
+    CASE WHEN low = 0 THEN {R}
+         WHEN POWER(2.0, g) > CAST(low AS DOUBLE) THEN {width} - (g - 1)
+         WHEN CAST(low AS DOUBLE) >= POWER(2.0, g + 1) THEN {width} - (g + 1)
+         ELSE {width} - g END AS rho
+  FROM bl
+),
+reg AS (SELECT event_type, idx, MAX(rho) AS r FROM rho GROUP BY event_type, idx),
+agg AS (
+  SELECT event_type,
+         SUM(CAST(1 AS BIGINT) << ({R} - r)) AS sp,
+         COUNT(*) AS np
+  FROM reg GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         CAST(CAST(sp AS HUGEINT)
+              + CAST({m} - np AS HUGEINT) * {1 << R} AS DOUBLE)
+           * POWER(2.0, {-R}) AS denom,
+         {m} - np AS zeros
+  FROM agg
+)
+SELECT event_type,
+       ROUND(CASE WHEN {_dlit(am2)} / denom <= {2.5 * m!r} AND zeros > 0
+                  THEN {m} * LN(CAST({m} AS DOUBLE) / zeros)
+                  ELSE {_dlit(am2)} / denom END, 3) AS approx_distinct
+FROM est
+"""
+
+
+def _cms_idx_expr(hm: str, a: int, b: int, width: int) -> str:
+    """Bucket index mirroring CMSSpec._indices: uint64-wrapping a*x+b,
+    then mod M61, mod width."""
+    return f"({_u64add(_u64mul(hm, a), b)} % {_M61}) % {width}"
+
+
+def _cms_oracle_sql() -> str:
+    """Count-min estimates for the 20 most-ordered parts, reproduced in
+    SQL: xxhash64 rows → per-depth pairwise-independent bucket indices
+    (sketches/cms.py _indices, uint64-wrap semantics) → bucket counts →
+    min over depths for each top key."""
+    from ddsketch_ruby_spark.sketches.cms import CMSSpec
+
+    spec = CMSSpec(width=8192, depth=5)
+    ab = list(zip(spec._a.tolist(), spec._b.tolist()))
+    frag_rows, fin_rows, h_rows = _xxh64_chain("cr", "rows_src")
+    frag_top, fin_top, h_top = _xxh64_chain("ct", "top_keys")
+    idx_cols_rows = ", ".join(
+        f"{_cms_idx_expr('hm', a, b, spec.width)} AS idx{d}"
+        for d, (a, b) in enumerate(ab)
+    )
+    idx_cols_top = ", ".join(
+        f"{_cms_idx_expr('hm', a, b, spec.width)} AS idx{d}"
+        for d, (a, b) in enumerate(ab)
+    )
+    cnt_ctes = ",\n".join(
+        f"cnt{d} AS (SELECT idx{d} AS i{d}, COUNT(*) AS c{d} "
+        f"FROM rows_idx GROUP BY idx{d})"
+        for d in range(spec.depth)
+    )
+    joins = " ".join(
+        f"JOIN cnt{d} ON top_idx.idx{d} = cnt{d}.i{d}"
+        for d in range(spec.depth)
+    )
+    least = ", ".join(f"c{d}" for d in range(spec.depth))
+    return f"""
+WITH rows_src AS (SELECT l_partkey AS x FROM lineitem){frag_rows},
+rows_hm AS (SELECT {h_rows} % {_M61} AS hm FROM {fin_rows}),
+rows_idx AS (SELECT {idx_cols_rows} FROM rows_hm),
+{cnt_ctes},
+top_keys AS (
+  SELECT l_partkey, l_partkey AS x FROM lineitem
+  GROUP BY l_partkey ORDER BY COUNT(*) DESC, l_partkey LIMIT 20
+){frag_top},
+top_hm AS (SELECT l_partkey, {h_top} % {_M61} AS hm FROM {fin_top}),
+top_idx AS (SELECT l_partkey, {idx_cols_top} FROM top_hm)
+SELECT top_idx.l_partkey, CAST(LEAST({least}) AS DOUBLE) AS est_count
+FROM top_idx {joins}
+"""
+
+
+def _bloom_oracle_sql() -> str:
+    """Bloom membership of every customer against the filter built over
+    orders' custkeys, reproduced in SQL: xxhash64 → Kirsch-Mitzenmacher
+    double hashing (sketches/bloom.py _bit_positions, uint64-wrap) → set
+    bit positions from orders; a customer is maybe_member iff all k of its
+    positions are present."""
+    from ddsketch_ruby_spark.sketches.bloom import BloomSpec
+
+    spec = BloomSpec(expected_items=200_000, fpp=0.01)
+    k, nbits = spec.num_hashes, spec.num_bits
+    C1, C2 = 0x9E3779B97F4A7C15, 0xFF51AFD7ED558CCD
+    frag_o, fin_o, h_o = _xxh64_chain("bo", "ord_src")
+    frag_c, fin_c, h_c = _xxh64_chain("bc", "cust_src")
+
+    def pos_union(src_cte: str, carry: str) -> str:
+        sel = []
+        for i in range(k):
+            ih2 = "CAST(0 AS UBIGINT)" if i == 0 else _u64mul("h2", i)
+            sel.append(
+                f"SELECT {carry}{_u64add('h1', ih2)} % {nbits} AS pos "
+                f"FROM {src_cte}"
+            )
+        return " UNION ALL ".join(sel)
+
+    return f"""
+WITH ord_src AS (SELECT o_custkey AS x FROM orders){frag_o},
+ord_dh AS (SELECT {_u64mul(h_o, C1)} AS h1,
+                  ({_u64mul(f"xor({h_o}, {h_o} >> 33)", C2)} | 1) AS h2
+           FROM {fin_o}),
+obits AS (SELECT DISTINCT pos FROM ({pos_union('ord_dh', '')}) u),
+cust_src AS (SELECT c_custkey, c_custkey AS x FROM customer){frag_c},
+cust_dh AS (SELECT c_custkey, {_u64mul(h_c, C1)} AS h1,
+                   ({_u64mul(f"xor({h_c}, {h_c} >> 33)", C2)} | 1) AS h2
+            FROM {fin_c}),
+cust_pos AS ({pos_union('cust_dh', 'c_custkey, ')}),
+hits AS (
+  SELECT c_custkey, COUNT(*) AS nhit
+  FROM cust_pos WHERE pos IN (SELECT pos FROM obits)
+  GROUP BY c_custkey
+)
+SELECT c.c_custkey, COALESCE(h.nhit, 0) = {k} AS maybe_member
+FROM customer c LEFT JOIN hits h ON c.c_custkey = h.c_custkey
+"""
+
+
 def _cosine_oracle() -> str:
     return """
 WITH q AS (
@@ -844,6 +1072,18 @@ FROM documents GROUP BY lang
         "langid_documents": _langid_oracle(),
         "quality_by_lang": _QUALITY_SQL,
         "cosine_topk_embeddings": _cosine_oracle(),
+        "hll_users_by_type": _hll_oracle_sql(),
+        "cms_heavy_parts": _cms_oracle_sql(),
+        "bloom_membership": _bloom_oracle_sql(),
+        "cosine_allpairs_dup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+""",
     }
 )
 

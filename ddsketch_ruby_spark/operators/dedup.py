@@ -25,6 +25,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "cosine_near_dup_pairs",
+    "cosine_pairs_exact",
     "dedup_clusters",
     "simhash",
 ]
@@ -395,6 +396,39 @@ def cosine_near_dup_pairs(
         .filter(F.col("cosine") >= min_cosine)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def cosine_pairs_exact(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    min_cosine: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """EXACT all-pairs cosine near-duplicates (O(n^2) self-join) — the
+    verification baseline for cosine_near_dup_pairs, SQL-oracle-checkable
+    end-to-end. Use the LSH-bucketed variant at corpus scale; use this on
+    bounded candidate sets (a shard, a bucket, a cluster)."""
+    v = lambda side: F.transform(F.col(f"{side}.{vec_col}"), lambda x: x.cast("double"))  # noqa: E731
+    b = df.select(id_col, vec_col)
+    pairs = b.alias("l").join(
+        b.alias("r"), F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    )
+    dot = F.aggregate(
+        F.zip_with(v("l"), v("r"), lambda a, bb: a * bb),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(v(side), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    return pairs.select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        F.round(dot / (norm("l") * norm("r")), round_to).alias("cosine"),
+    ).filter(F.col("cosine") >= min_cosine)
 
 
 def dedup_clusters(

@@ -50,9 +50,21 @@ def _rho(h: np.ndarray, width: int) -> np.ndarray:
 
 
 def hll_estimate(registers: np.ndarray) -> float:
-    """Cardinality estimate from a register array."""
+    """Cardinality estimate from a register array.
+
+    The indicator sum 2^-r is accumulated EXACTLY as a big integer
+    (sum of 2^(R-r) scaled by 2^-R, R = max rho = 65 - p): every term is
+    dyadic, so the float sum would depend on accumulation order once the
+    exponent spread exceeds 53 bits; the integer sum makes the estimate a
+    pure function of the register multiset — reproducible by a SQL oracle
+    summing the same integers (__spark_entry__ hll oracle)."""
     m = len(registers)
-    raw = _alpha_m(m) * m * m / np.exp2(-registers.astype(np.float64)).sum()
+    p = m.bit_length() - 1
+    R = 65 - p  # rho ranges over 1..R for occupied registers, 0 empty
+    vals, counts = np.unique(registers, return_counts=True)
+    S = sum(int(c) << (R - int(v)) for v, c in zip(vals, counts))
+    denom = float(S) * 2.0 ** (-R)
+    raw = _alpha_m(m) * m * m / denom
     zeros = int((registers == 0).sum())
     if raw <= 2.5 * m and zeros > 0:
         return m * math.log(m / zeros)  # linear counting
