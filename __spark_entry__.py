@@ -348,6 +348,23 @@ def _q_kll_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_agg(li, KLLSpec(k=200), "l_quantity", [])
 
 
+def _q_kll_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL in exact mode: k >= n means no compactor ever fires, so every
+    value sits at level 0 with weight 1 and kll_quantile degenerates to the
+    exact order statistic (searchsorted on the cumulative weights) — a SQL
+    oracle pins the buffer/merge/extraction plumbing end-to-end. Merging
+    uncompacted partials stays uncompacted, so the result is
+    partitioning-invariant."""
+    from ddsketch_ruby_spark.operators.agg import sketch_agg
+    from ddsketch_ruby_spark.sketches.kll import KLLSpec
+
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    spec = KLLSpec(
+        k=100_000, quantiles={"q25": 0.25, "q50": 0.5, "q90": 0.9}
+    )
+    return sketch_agg(li, spec, "l_quantity", [])
+
+
 def _q_cms_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency estimates for the 20 most-ordered parts —
     estimates must be >= true counts (one-sided), checked in pytest."""
@@ -602,6 +619,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _tables(spark, sf_dir, "embeddings")[0], "embedding", "vec_id",
         min_cosine=0.3, n_planes=6,
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine")),
+    "ngram_jaccard_exact": lambda spark, sf_dir: __import__(
+        "ddsketch_ruby_spark.operators.dedup", fromlist=["ngram_jaccard_exact"]
+    ).ngram_jaccard_exact(
+        _tables(spark, sf_dir, "documents")[0], "text", "doc_id",
+        min_jaccard=0.5,
+    ),
     "cosine_allpairs_dup": lambda spark, sf_dir: __import__(
         "ddsketch_ruby_spark.operators.dedup", fromlist=["cosine_pairs_exact"]
     ).cosine_pairs_exact(
@@ -609,10 +632,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         min_cosine=0.3,
     ),
     "simhash_documents": _q_simhash_documents,
+    "minhash_sig_matrix": lambda spark, sf_dir: __import__(
+        "ddsketch_ruby_spark.operators.dedup", fromlist=["minhash_signatures"]
+    ).minhash_signatures(
+        _tables(spark, sf_dir, "documents")[0], "text", "doc_id",
+        num_hashes=64, variant="oph",
+    ).select("doc_id", F.posexplode("sig").alias("pos", "sig")),
     "doc_fingerprints": _q_doc_fingerprints,
     "hll_users_by_type": _q_hll_users_by_type,
     "tdigest_price_by_returnflag": _q_tdigest_price,
     "kll_quantity_quantiles": _q_kll_quantity,
+    "kll_exact_quantity": _q_kll_exact,
     "cms_heavy_parts": _q_cms_heavy_parts,
     "bloom_membership": _q_bloom_membership,
 }
@@ -833,6 +863,228 @@ def _xxh64_chain(prefix: str, src_cte: str) -> tuple[str, str, str]:
         f"FROM {prev})"
     )
     return frag, f"{prefix}F", hcol
+
+
+def _xxh64_round(v: str, inp: str) -> str:
+    """XXH64 round: rotl(v + inp*PRIME2, 31) * PRIME1."""
+    return _u64mul(_u64rotl(_u64add(v, _u64mul(inp, _XXP2)), 31), _XXP1)
+
+
+def _xxh64_str_chain(prefix: str, src_cte: str) -> tuple[str, str, str]:
+    """CTE chain computing Spark xxhash64 of a STRING column ``t`` (ASCII
+    only — bytes are recovered with ord(); the driver documents table is
+    pure ASCII, asserted in tests) in ``src_cte``; other columns carried.
+    Returns (fragment, final_cte, hash_col).
+
+    Full XXH64: 32-byte stripes folded with list_reduce over a 4-lane
+    struct accumulator, then 8-byte tail words, 4-byte chunk, byte tail,
+    avalanche — validated byte-for-byte against F.xxhash64 in
+    tests/test_sql_hash_oracles.py."""
+    P = prefix
+    seed = 42
+    M = 1 << 64
+    vi = [(seed + _XXP1 + _XXP2) % M, (seed + _XXP2) % M, seed, (seed - _XXP1) % M]
+    word8 = " + ".join(f"ord(tp[8*j+{b}+1])*{1 << (8 * b)}" for b in range(8))
+    lane4 = " + ".join(f"ord(tp[off8+{b}+1])*{1 << (8 * b)}" for b in range(4))
+    rnd0 = lambda x: _u64mul(_u64rotl(_u64mul(x, _XXP2), 31), _XXP1)  # noqa: E731
+    mrg = lambda acc, v: _u64add(  # noqa: E731
+        _u64mul(f"xor({acc}, {rnd0(v)})", _XXP1), _XXP4
+    )
+    byte_step = lambda acc, pos: (  # noqa: E731
+        f"CASE WHEN {pos} < n THEN "
+        + _u64mul(
+            _u64rotl(f"xor({acc}, {_u64mul(f'CAST(ord(tp[{pos}+1]) AS UBIGINT)', _XXP5)})", 11),
+            _XXP1,
+        )
+        + f" ELSE {acc} END"
+    )
+    frag = f""",
+{P}w AS (
+  SELECT *, length(t) AS n, t || repeat(chr(1), 8) AS tp FROM {src_cte}
+),
+{P}wl AS (
+  SELECT *, n // 32 AS ns,
+    list_transform(range(0, n // 8), j -> CAST({word8} AS UBIGINT)) AS w
+  FROM {P}w
+),
+{P}sf AS (
+  SELECT *,
+    list_reduce(
+      list_prepend(
+        {{'a': CAST({vi[0]} AS UBIGINT), 'b': CAST({vi[1]} AS UBIGINT),
+          'c': CAST({vi[2]} AS UBIGINT), 'd': CAST({vi[3]} AS UBIGINT)}},
+        list_transform(range(0, ns), s ->
+          {{'a': w[4*s+1], 'b': w[4*s+2], 'c': w[4*s+3], 'd': w[4*s+4]}})
+      ),
+      (acc, x) -> {{'a': {_xxh64_round("acc.a", "x.a")},
+                    'b': {_xxh64_round("acc.b", "x.b")},
+                    'c': {_xxh64_round("acc.c", "x.c")},
+                    'd': {_xxh64_round("acc.d", "x.d")}}}
+    ) AS vs
+  FROM {P}wl
+),
+{P}m0 AS (
+  SELECT *, {_u64add(_u64add(_u64rotl("vs.a", 1), _u64rotl("vs.b", 7)),
+                     _u64add(_u64rotl("vs.c", 12), _u64rotl("vs.d", 18)))} AS ma
+  FROM {P}sf
+),
+{P}m1 AS (SELECT *, {mrg("ma", "vs.a")} AS mb FROM {P}m0),
+{P}m2 AS (SELECT *, {mrg("mb", "vs.b")} AS mc FROM {P}m1),
+{P}m3 AS (SELECT *, {mrg("mc", "vs.c")} AS md FROM {P}m2),
+{P}m4 AS (
+  SELECT *,
+    {_u64add(f"CASE WHEN n >= 32 THEN {mrg('md', 'vs.d')} "
+             f"ELSE CAST({(seed + _XXP5) % M} AS UBIGINT) END", "n")} AS acc_n,
+    (n // 8) * 8 AS off8
+  FROM {P}m3
+),
+{P}tw AS (
+  SELECT *,
+    list_reduce(
+      list_prepend(acc_n, list_transform(range(4*ns, n // 8), j -> w[j+1])),
+      (acc, x) -> {_u64add(_u64mul(_u64rotl(f"xor(acc, {rnd0('x')})", 27), _XXP1), _XXP4)}
+    ) AS acc_t
+  FROM {P}m4
+),
+{P}c4 AS (
+  SELECT *,
+    CASE WHEN n - off8 >= 4 THEN
+      {_u64add(_u64mul(_u64rotl(f"xor(acc_t, {_u64mul(f'CAST({lane4} AS UBIGINT)', _XXP1)})", 23), _XXP2), _XXP3)}
+    ELSE acc_t END AS acc_4,
+    off8 + CASE WHEN n - off8 >= 4 THEN 4 ELSE 0 END AS off4
+  FROM {P}tw
+),
+{P}b0 AS (SELECT *, {byte_step("acc_4", "off4")} AS acc_b0 FROM {P}c4),
+{P}b1 AS (SELECT *, {byte_step("acc_b0", "off4 + 1")} AS acc_b1 FROM {P}b0),
+{P}b2 AS (SELECT *, {byte_step("acc_b1", "off4 + 2")} AS acc_b2 FROM {P}b1),
+{P}a1 AS (SELECT *, {_u64mul("xor(acc_b2, acc_b2 >> 33)", _XXP2)} AS av1 FROM {P}b2),
+{P}a2 AS (SELECT *, {_u64mul("xor(av1, av1 >> 29)", _XXP3)} AS av2 FROM {P}a1),
+{P}F AS (SELECT *, xor(av2, av2 >> 32) AS {P}_h FROM {P}a2)"""
+    return frag, f"{P}F", f"{P}_h"
+
+
+def _to_signed(h: str) -> str:
+    return (
+        f"CAST(CASE WHEN {h} >= 9223372036854775808 "
+        f"THEN CAST({h} AS HUGEINT) - 18446744073709551616 "
+        f"ELSE CAST({h} AS HUGEINT) END AS BIGINT)"
+    )
+
+
+def _doc_fingerprint_oracle_sql() -> str:
+    frag, fin, h = _xxh64_str_chain("fp", "src")
+    return f"""
+WITH src AS (SELECT doc_id, text AS t FROM documents){frag}
+SELECT doc_id, {_to_signed(h)} AS fingerprint FROM {fin}
+"""
+
+
+_FNV = 1099511628211
+_MIX64 = 0xFF51AFD7ED558CCD
+
+
+def _shingle_cte_chain(prefix: str, src_cte: str, width: int) -> tuple[str, str]:
+    """CTE chain computing the DISTINCT rolling-hash character-shingle set
+    of ASCII column ``t`` (operators/dedup.py _shingle_hashes, op-for-op:
+    polynomial FNV-power window sum mod 2^64, then the murmur-style
+    finalizer). Returns (fragment, hash_list_column) with the list in
+    column ``{prefix}_hs`` of CTE ``{prefix}3``. Assumes length(t) >= width
+    (true for the driver documents; padding corner untested in SQL)."""
+    P = prefix
+    coefs = [pow(_FNV, b, 1 << 64) for b in range(width)]
+    terms = [
+        _u64mul(f"CAST(ord(t[j+{b}+1]) AS UBIGINT)", c)
+        for b, c in enumerate(coefs)
+    ]
+    raw = terms[0]
+    for t_ in terms[1:]:
+        raw = _u64add(raw, t_)
+    return (
+        f""",
+{P}0 AS (SELECT *, list_transform(range(0, length(t) - {width - 1}), j -> {raw}) AS {P}_l1 FROM {src_cte}),
+{P}1 AS (SELECT *, list_transform({P}_l1, x -> xor(x, x >> 33)) AS {P}_l2 FROM {P}0),
+{P}2 AS (SELECT *, list_transform({P}_l2, x -> {_u64mul("x", _MIX64)}) AS {P}_l3 FROM {P}1),
+{P}3 AS (SELECT *, list_distinct(list_transform({P}_l3, x -> xor(x, x >> 33))) AS {P}_hs FROM {P}2)""",
+        f"{P}_hs",
+    )
+
+
+def _simhash_oracle_sql() -> str:
+    """SimHash fingerprints reproduced in SQL: distinct shingle hashes →
+    per-bit majority vote (votes*2 >= n, operators/dedup.py simhash) →
+    64-bit fingerprint reassembled and sign-converted."""
+    frag, hs = _shingle_cte_chain("sg", "src", width=4)
+    return f"""
+WITH src AS (SELECT doc_id, text AS t FROM documents){frag},
+shx AS (SELECT doc_id, unnest({hs}) AS h, len({hs}) AS cnt FROM sg3),
+vb AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) AS v,
+         MAX(cnt) AS cnt
+  FROM shx, (SELECT unnest(range(0, 64)) AS b) bb
+  GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 2 * v >= cnt THEN CAST(1 AS UBIGINT) << b
+                  ELSE CAST(0 AS UBIGINT) END) AS fpu
+  FROM vb GROUP BY doc_id
+)
+SELECT doc_id, {_to_signed("fpu")} AS simhash FROM fp
+"""
+
+
+def _minhash_oph_oracle_sql(H: int = 64, width: int = 5, seed: int = 42) -> str:
+    """The full one-permutation minhash signature matrix reproduced in
+    SQL: shingle hashes → mix multiply → bin by h%H, min of h>>1 per bin →
+    rotation densification (empty bin borrows the next filled bin,
+    wrapping; operators/dedup.py _oph_batch / np.searchsorted semantics).
+    One row per (doc, position)."""
+    mix = (seed * 2 + 1) % (1 << 64)
+    frag, hs = _shingle_cte_chain("mg", "src", width=width)
+    return f"""
+WITH src AS (SELECT doc_id, text AS t FROM documents){frag},
+hx AS (
+  SELECT doc_id, {_u64mul("h", mix)} AS h2
+  FROM (SELECT doc_id, unnest({hs}) AS h FROM mg3) u
+),
+bv AS (
+  SELECT doc_id, CAST(h2 % {H} AS BIGINT) AS bin,
+         CAST(h2 >> 1 AS BIGINT) AS val
+  FROM hx
+),
+mn AS (SELECT doc_id, bin, MIN(val) AS v FROM bv GROUP BY doc_id, bin),
+allb AS (
+  SELECT d.doc_id, b.bin
+  FROM (SELECT DISTINCT doc_id FROM mn) d,
+       (SELECT unnest(range(0, {H})) AS bin) b
+),
+sig0 AS (
+  SELECT a.doc_id, a.bin, m.v
+  FROM allb a LEFT JOIN mn m ON a.doc_id = m.doc_id AND a.bin = m.bin
+),
+f AS (
+  SELECT doc_id, bin, v,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY bin) - 1 AS rk
+  FROM sig0 WHERE v IS NOT NULL
+),
+nf AS (SELECT doc_id, COUNT(*) AS nfc FROM f GROUP BY doc_id),
+emp AS (
+  SELECT s.doc_id, s.bin,
+         (SELECT COUNT(*) FROM f
+          WHERE f.doc_id = s.doc_id AND f.bin < s.bin) AS cl
+  FROM sig0 s WHERE s.v IS NULL
+),
+borrowed AS (
+  SELECT e.doc_id, e.bin, f2.v
+  FROM emp e
+  JOIN nf ON nf.doc_id = e.doc_id
+  JOIN f f2 ON f2.doc_id = e.doc_id AND f2.rk = e.cl % nf.nfc
+)
+SELECT doc_id, CAST(bin AS INT) AS pos, v AS sig FROM f
+UNION ALL
+SELECT doc_id, CAST(bin AS INT) AS pos, v AS sig FROM borrowed
+"""
 
 
 def _hll_oracle_sql() -> str:
@@ -1073,6 +1325,34 @@ FROM documents GROUP BY lang
         "quality_by_lang": _QUALITY_SQL,
         "cosine_topk_embeddings": _cosine_oracle(),
         "hll_users_by_type": _hll_oracle_sql(),
+        "doc_fingerprints": _doc_fingerprint_oracle_sql(),
+        "simhash_documents": _simhash_oracle_sql(),
+        "minhash_sig_matrix": _minhash_oph_oracle_sql(),
+        "ngram_jaccard_exact": f"""
+WITH src AS (SELECT doc_id, text AS t FROM documents){_shingle_cte_chain("jg", "src", width=5)[0]},
+rows_h AS (SELECT doc_id, unnest(jg_hs) AS h FROM jg3),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM rows_h GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM rows_h a JOIN rows_h b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(c / CAST(na.n + nb.n - c AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE ROUND(c / CAST(na.n + nb.n - c AS DOUBLE), 6) >= 0.5
+""",
+        "kll_exact_quantity": """
+WITH v AS (SELECT CAST(l_quantity AS DOUBLE) AS x FROM lineitem),
+r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM v)
+SELECT (SELECT MIN(x) FROM r, n WHERE rn >= 0.25 * cnt) AS q25,
+       (SELECT MIN(x) FROM r, n WHERE rn >= 0.5 * cnt) AS q50,
+       (SELECT MIN(x) FROM r, n WHERE rn >= 0.9 * cnt) AS q90,
+       (SELECT cnt FROM n) AS count
+""",
         "cms_heavy_parts": _cms_oracle_sql(),
         "bloom_membership": _bloom_oracle_sql(),
         "cosine_allpairs_dup": """

@@ -24,6 +24,8 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_exact",
+    "shingle_hash_rows",
     "cosine_near_dup_pairs",
     "cosine_pairs_exact",
     "dedup_clusters",
@@ -395,6 +397,84 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cosine") >= min_cosine)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def shingle_hash_rows(
+    df: DataFrame, text_col: str, id_col: str, shingle: int = 5
+) -> DataFrame:
+    """One row per (id, distinct shingle hash) — the exploded relational
+    form of the shingle sets. Hashes are the same rolling-hash values the
+    minhash/simhash paths consume (int64 view of the uint64 hash)."""
+    out_schema = T.StructType(
+        [
+            next(f for f in df.schema.fields if f.name == id_col),
+            T.StructField("h", T.LongType(), False),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, hs = [], []
+            for i, t in zip(pdf[id_col].values, pdf[text_col]):
+                sh = _shingle_hashes(t or "", shingle)
+                ids.append(np.full(len(sh), i))
+                hs.append(sh.view(np.int64))
+            yield pd.DataFrame(
+                {id_col: np.concatenate(ids), "h": np.concatenate(hs)}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+
+
+def ngram_jaccard_exact(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_jaccard: float = 0.5,
+    shingle: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via the relational algorithm: explode
+    shingle sets, equi-join on the shingle hash (only pairs sharing a
+    shingle ever meet — no cross join), count intersections, derive
+    |A∪B| = |A|+|B|−|A∩B|. Fully distributed (shuffle keyed on the
+    shingle hash); at corpus scale cap hot shingles first (the same
+    stop-shingle consideration as minhash_lsh_pairs' bucket cap).
+    The verification baseline for the LSH candidate pipeline."""
+    rows = shingle_hash_rows(df, text_col, id_col, shingle).persist()
+    sizes = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    a, b = rows.alias("a"), rows.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    na = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("__n").alias("__na")
+    )
+    nb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("__n").alias("__nb")
+    )
+    jac = F.round(
+        F.col("__c")
+        / (F.col("__na") + F.col("__nb") - F.col("__c")).cast("double"),
+        round_to,
+    ).alias("jaccard")
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
     )
 
 

@@ -68,3 +68,47 @@ def test_u64_primitives():
         ]
         exp = [((x << r) | (x >> (64 - r))) % 2**64 for x in xs[:30]]
         assert [int(g) for g in got] == exp, r
+
+
+def test_sql_xxhash64_string_matches_spark(spark):
+    """Full XXH64 (stripes + 8B words + 4B chunk + byte tail) over ASCII
+    strings — every length-class boundary exercised."""
+    import random
+    import string as strmod
+
+    random.seed(7)
+    texts = (
+        ["", "a", "abc", "abcd", "abcdefg", "abcdefgh", "abcdefghi"]
+        + ["x" * n for n in (31, 32, 33, 39, 40, 43, 44, 47, 63, 64, 553)]
+        + [
+            "".join(
+                random.choices(strmod.ascii_letters + strmod.digits + " .,;!?", k=random.randint(1, 400))
+            )
+            for _ in range(120)
+        ]
+    )
+    frag, fin, hcol = entry._xxh64_str_chain("t", "src")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE vals(t VARCHAR)")
+    con.executemany("INSERT INTO vals VALUES (?)", [(t,) for t in set(texts)])
+    sql = f"""
+WITH src AS (SELECT t FROM vals){frag}
+SELECT t, {entry._to_signed(hcol)} AS h FROM {fin}
+"""
+    duck = dict(con.execute(sql).fetchall())
+    sp = {
+        r.t: r.h
+        for r in spark.createDataFrame([(t,) for t in set(texts)], "t string")
+        .select("t", F.xxhash64("t").alias("h"))
+        .collect()
+    }
+    mism = [(repr(t)[:40], duck[t], sp[t]) for t in sp if duck[t] != sp[t]]
+    assert not mism, mism[:5]
+
+
+def test_documents_are_ascii(spark, sf_dir):
+    """The string-hash oracle recovers bytes with ord(), which is only
+    byte-faithful for ASCII — pin the assumption on the driver table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_bad = docs.filter(F.col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert n_bad == 0
