@@ -524,6 +524,32 @@ def _q_ddsketch_q_of_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ddsketch_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two measures sketched in ONE scan (ddsketch_multi): price and
+    quantity quantiles from a single pass over lineitem — the
+    never-scan-100TB-twice shape — each verified by its own SQL pipeline."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_multi
+
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    src = li.filter(
+        (F.col("l_extendedprice") > 0) & (F.col("l_quantity") > 0)
+    )
+    wide = ddsketch_multi(
+        src,
+        {"price": "l_extendedprice", "qty": "l_quantity"},
+        quantiles={"q50": 0.5, "q99": 0.99},
+        include_stats=False,
+        value_formula="pow",
+    )
+    return wide.select(
+        "measure",
+        F.expr(
+            "stack(2, 'q50', round(q50, 6), 'q99', round(q99, 6)) "
+            "as (qname, qvalue)"
+        ),
+    )
+
+
 def _q_ddsketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed sketches: per-day latency quantiles over the events
     stream table (the hypertable-rollup shape)."""
@@ -600,6 +626,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_linear_events": _q_ddsketch_linear,
     "ddsketch_rollup_doclen": _q_ddsketch_rollup,
     "ddsketch_q_of_q_user_value": _q_ddsketch_q_of_q,
+    "ddsketch_multi_lineitem": _q_ddsketch_multi,
     "ddsketch_weighted_grouped": _q_ddsketch_weighted_grouped,
     "exact_dedup_documents": _q_exact_dedup_documents,
     "token_stats_by_lang": _q_token_stats_by_lang,
@@ -1305,6 +1332,25 @@ GROUP BY event_type
             "lineitem",
             ["l_linestatus"],
             {"q50": 0.5, "q95": 0.95},
+        ),
+        "ddsketch_multi_lineitem": (
+            "SELECT 'price' AS measure, qname, qvalue FROM ("
+            + _ddsketch_oracle_sql(
+                "l_extendedprice",
+                "(SELECT * FROM lineitem WHERE l_extendedprice > 0 "
+                "AND l_quantity > 0) AS t",
+                [],
+                {"q50": 0.5, "q99": 0.99},
+            )
+            + ") p UNION ALL SELECT 'qty' AS measure, qname, qvalue FROM ("
+            + _ddsketch_oracle_sql(
+                "l_quantity",
+                "(SELECT * FROM lineitem WHERE l_extendedprice > 0 "
+                "AND l_quantity > 0) AS t",
+                [],
+                {"q50": 0.5, "q99": 0.99},
+            )
+            + ") q"
         ),
         "ddsketch_linear_events": _ddsketch_oracle_sql(
             "value", "events", [], _QS, mapping="linear"

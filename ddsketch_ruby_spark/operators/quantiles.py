@@ -133,6 +133,7 @@ def ddsketch_multi(
     relative_accuracy: float = DEFAULT_REL_ACC,
     include_stats: bool = True,
     engine: str = "auto",
+    value_formula: str = "reference",
 ) -> DataFrame:
     """Sketch several measures in ONE scan: returns one row per
     (measure, group...). At corpus scale this is the shape to prefer —
@@ -159,6 +160,7 @@ def ddsketch_multi(
         relative_accuracy,
         include_stats=include_stats,
         engine=engine,
+        value_formula=value_formula,
     )
 
 
