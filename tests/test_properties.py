@@ -143,3 +143,38 @@ def test_proto_round_trip_property(proto_roundtrip):
     back = deserialize_sketch(serialize_sketch(s))
     assert back.store.key_counts() == s.store.key_counts()
     assert math.isclose(back.mapping.gamma, s.mapping.gamma, rel_tol=1e-12)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=1e-280,
+            max_value=1e280,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    mapping=st.sampled_from(["logarithmic", "linear", "cubic"]),
+)
+def test_jvm_key_expr_matches_kernel_property(spark, vals, mapping):
+    """Hypothesis depth on top of the fixed adversarial grid
+    (test_spark_ddsketch.test_jvm_keys_bit_match_kernel): the SQL key
+    expression must equal kernel key_batch bit-for-bit on arbitrary
+    positive doubles."""
+    from pyspark.sql import functions as F
+
+    from ddsketch_ruby_spark.kernel.mapping import mapping_from_name
+    from ddsketch_ruby_spark.operators.ddsketch_jvm import key_column
+
+    m = mapping_from_name(mapping, 0.01)
+    arr = np.array(vals, dtype=np.float64)
+    df = spark.createDataFrame([(float(v),) for v in arr], "v double")
+    got = {
+        float(r.v): int(r.k)
+        for r in df.select("v", key_column(m, F.col("v")).alias("k")).collect()
+    }
+    kern = {float(v): int(k) for v, k in zip(arr, m.key_batch(arr))}
+    assert got == kern

@@ -295,3 +295,60 @@ def test_stream_stream_latency_join_hist(spark, tmp_path):
         for r in ddsketch_jvm_agg(bjoined, spec, "latency_s", ["window_start"]).collect()
     }
     assert got == ref and len(ref) >= 2, (len(got), len(ref))
+
+
+def test_stream_rocksdb_state_store(spark, stream_dir, tmp_path):
+    """Same stateful sketch aggregation on the RocksDB state store provider
+    (the at-scale configuration: state lives off-heap/on-disk instead of
+    the executor heap, so windows x groups x 32 kB no longer pressures the
+    JVM). Results must be identical to the default provider."""
+    d, src = stream_dir
+    spec = DDSketchSpec(0.01, quantiles={"q50": 0.5})
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = sketch_stream_agg(stream, spec, "value", ["event_type"])
+        q = (
+            out.writeStream.format("memory")
+            .queryName("rocks_sketch")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "rocks_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    pdf = spark.sql("select * from rocks_sketch").toPandas()
+    final = (
+        pdf.sort_values("count").groupby("event_type").tail(1).set_index("event_type")
+    )
+    ref = {
+        r["event_type"]: r.asDict()
+        for r in __import__(
+            "ddsketch_ruby_spark.operators.quantiles",
+            fromlist=["ddsketch_quantiles"],
+        )
+        .ddsketch_quantiles(
+            src, "value", ["event_type"], quantiles={"q50": 0.5},
+            engine="python",
+        )
+        .collect()
+    }
+    assert set(final.index) == set(ref)
+    for et, e in ref.items():
+        assert final.loc[et, "count"] == e["count"]
+        assert final.loc[et, "q50"] == pytest.approx(e["q50"], rel=1e-9)
