@@ -85,3 +85,65 @@ def test_corrupt_buffers_fail_cleanly():
             assert out.count >= 0
         except Exception:
             pass  # clean failure is acceptable; hanging/crashing is not
+
+
+def test_wire_format_golden_fixture():
+    """Pin the exact wire bytes of a known sketch, cross-assembled by an
+    INDEPENDENT mini proto3 writer in this test (own varint/zigzag/packing,
+    straight from the schema in ddsketch.proto:15-66) — catches silent
+    drift in field numbers, wire types, zigzag, or packed encoding that a
+    round-trip test cannot see."""
+    import struct
+
+    import numpy as np
+
+    from ddsketch_ruby_spark.kernel import DDSketch
+    from ddsketch_ruby_spark.kernel.proto import serialize_sketch
+
+    s = DDSketch(0.01)
+    s.add_batch(np.array([1.0, 2.0, 2.0, -3.0, 0.0]))
+
+    def vint(n):
+        out = bytearray()
+        while True:
+            b, n = n & 0x7F, n >> 7
+            out.append(b | (0x80 if n else 0))
+            if not n:
+                return bytes(out)
+
+    def zz(n):
+        return (n << 1) ^ (n >> 63)
+
+    def ld(field, payload):
+        return vint((field << 3) | 2) + vint(len(payload)) + payload
+
+    def dbl(field, v):
+        return vint((field << 3) | 1) + struct.pack("<d", v)
+
+    def store_msg(st):
+        if st.count == 0:
+            return b""
+        body = ld(2, struct.pack(f"<{len(st.bins)}d", *st.bins.tolist()))
+        if st.offset != 0:
+            body += vint((3 << 3) | 0) + vint(zz(int(st.offset)))
+        return body
+
+    mapping_msg = dbl(1, s.mapping.gamma)  # interpolation NONE elided
+    expected = ld(1, mapping_msg)
+    pos = store_msg(s.store)
+    if pos:
+        expected += ld(2, pos)
+    neg = store_msg(s.negative_store)
+    if neg:
+        expected += ld(3, neg)
+    expected += dbl(4, s.zero_count)
+
+    got = serialize_sketch(s)
+    assert got == expected
+    # frozen snapshot of the same bytes (first/last 32 hex chars + length)
+    h = got.hex()
+    assert (len(h), h[:32], h[-32:]) == (
+        656,
+        "0a0909fd4a815abf52f03f12a30212a0",
+        "000000f03f186e21000000000000f03f",
+    ), (len(h), h[:32], h[-32:])
