@@ -524,6 +524,96 @@ def _q_ddsketch_q_of_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ddsketch_threezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed measure (value - 50) spanning the negative store, zero band,
+    and positive store — the full reference quantile routing
+    (base_sketch.rb:121-138) under a SQL oracle, including the reversed
+    negative-store rank scan. No other oracle exercises negatives."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_quantiles
+
+    (events,) = _tables(spark, sf_dir, "events")
+    wide = ddsketch_quantiles(
+        events.withColumn("v", F.col("value") - F.lit(50.0)),
+        "v",
+        quantiles={"q10": 0.1, "q25": 0.25, "q50": 0.5, "q90": 0.9},
+        include_stats=False,
+        value_formula="pow",
+    )
+    return wide.select(
+        F.expr(
+            "stack(4, 'q10', round(q10, 6), 'q25', round(q25, 6), "
+            "'q50', round(q50, 6), 'q90', round(q90, 6)) as (qname, qvalue)"
+        )
+    )
+
+
+def _threezone_oracle_sql(value_expr: str, table: str, qs: dict[str, float]) -> str:
+    """Full three-zone DDSketch quantile pipeline in SQL: rank routed to
+    the negative store (REVERSED rank, upper scan: first key with
+    running count >= reversed_rank + 1), the zero band, or the positive
+    store (lower scan: running count > rank'), mirroring
+    kernel/sketch.py quantile_key op-for-op."""
+    from ddsketch_ruby_spark.kernel.mapping import mapping_from_name
+
+    m = mapping_from_name("logarithmic", ALPHA)
+    mp = m.min_possible
+    qvalues = ", ".join(f"('{name}', {q!r})" for name, q in qs.items())
+    key = lambda col: (  # noqa: E731
+        f"CAST(CEIL(LN({col}) / LN(2.0) * {_dlit(m._multiplier)}) AS BIGINT)"
+    )
+    return f"""
+WITH vals AS (SELECT CAST({value_expr} AS DOUBLE) AS v FROM {table}),
+pos_h AS (
+  SELECT {key("v")} AS k, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM vals WHERE v > {_dlit(mp)} GROUP BY k
+),
+neg_h AS (
+  SELECT {key("-v")} AS k, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM vals WHERE v < {_dlit(-mp)} GROUP BY k
+),
+pos_c AS (SELECT k, SUM(c) OVER (ORDER BY k) AS rc FROM pos_h),
+neg_c AS (SELECT k, SUM(c) OVER (ORDER BY k) AS rc FROM neg_h),
+nn AS (
+  SELECT CAST(COALESCE((SELECT SUM(c) FROM pos_h), 0) AS DOUBLE) AS npos,
+         CAST(COALESCE((SELECT SUM(c) FROM neg_h), 0) AS DOUBLE) AS nneg,
+         CAST((SELECT COUNT(*) FROM vals
+               WHERE v >= {_dlit(-mp)} AND v <= {_dlit(mp)}) AS DOUBLE)
+           AS nzero
+),
+qs(qname, q) AS (VALUES {qvalues}),
+ranked AS (
+  SELECT qname, q, q * ((npos + nneg + nzero) - 1.0) AS rank,
+         npos, nneg, nzero
+  FROM qs CROSS JOIN nn
+),
+resolved AS (
+  SELECT qname,
+    CASE
+      WHEN rank < nneg THEN 'neg'
+      WHEN rank < nzero + nneg THEN 'zero'
+      ELSE 'pos'
+    END AS zone,
+    CASE
+      WHEN rank < nneg THEN
+        (SELECT MIN(k) FROM neg_c WHERE rc >= ((nneg - rank) - 1.0) + 1.0)
+      WHEN rank < nzero + nneg THEN 0
+      ELSE
+        (SELECT MIN(k) FROM pos_c WHERE rc > (rank - nzero) - nneg)
+    END AS kq
+  FROM ranked
+)
+SELECT qname,
+       ROUND(CASE zone
+               WHEN 'zero' THEN 0.0
+               WHEN 'pos' THEN POWER({_dlit(m.gamma)}, kq)
+                               * {_dlit(2.0 / (1.0 + m.gamma))}
+               ELSE -(POWER({_dlit(m.gamma)}, kq)
+                      * {_dlit(2.0 / (1.0 + m.gamma))})
+             END, 6) AS qvalue
+FROM resolved
+"""
+
+
 def _q_ddsketch_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two measures sketched in ONE scan (ddsketch_multi): price and
     quantity quantiles from a single pass over lineitem — the
@@ -627,6 +717,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_rollup_doclen": _q_ddsketch_rollup,
     "ddsketch_q_of_q_user_value": _q_ddsketch_q_of_q,
     "ddsketch_multi_lineitem": _q_ddsketch_multi,
+    "ddsketch_threezone_events": _q_ddsketch_threezone,
     "ddsketch_weighted_grouped": _q_ddsketch_weighted_grouped,
     "exact_dedup_documents": _q_exact_dedup_documents,
     "token_stats_by_lang": _q_token_stats_by_lang,
@@ -1332,6 +1423,10 @@ GROUP BY event_type
             "lineitem",
             ["l_linestatus"],
             {"q50": 0.5, "q95": 0.95},
+        ),
+        "ddsketch_threezone_events": _threezone_oracle_sql(
+            "value - 50.0", "events",
+            {"q10": 0.1, "q25": 0.25, "q50": 0.5, "q90": 0.9},
         ),
         "ddsketch_multi_lineitem": (
             "SELECT 'price' AS measure, qname, qvalue FROM ("
