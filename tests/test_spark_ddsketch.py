@@ -364,3 +364,23 @@ def test_quantile_of_quantiles_grouped(spark, events):
         ).collect()
     }
     assert got == ref and len(got) >= 3
+
+
+def test_cross_check_vs_spark_builtin_percentile(spark, events):
+    """External validation: our sketch's quantiles and Spark's built-in
+    percentile_approx (a different algorithm entirely) must both sit
+    within alpha of each other's values on the same data."""
+    ours = ddsketch_quantiles(
+        events.filter(F.col("value") > 0), "value", quantiles=(0.5, 0.95, 0.99)
+    ).collect()[0]
+    theirs = (
+        events.filter(F.col("value") > 0)
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("p")
+        )
+        .collect()[0]["p"]
+    )
+    for name, ref in zip(("q50", "q95", "q99"), theirs):
+        assert abs(ours[name] - ref) <= 2 * ALPHA * abs(ref) + 1e-9, (
+            name, ours[name], ref,
+        )
