@@ -37,6 +37,9 @@ DATA = os.path.join(
 CORES = tuple(
     int(c) for c in os.environ.get("SCALING_CORES", "2,8").split(",")
 )
+# key mapping under test (logarithmic | linear | cubic) — all three run the
+# JVM histogram path, so N->4N efficiency should hold for each
+MAPPING = os.environ.get("SCALING_MAPPING", "logarithmic")
 QS = {"q50": 0.5, "q95": 0.95, "q99": 0.99}
 
 
@@ -64,7 +67,8 @@ def _job(spark, df):
         "v",
     )
     rows = ddsketch_quantiles(
-        stacked, "v", group_by=["metric", "grp"], quantiles=QS
+        stacked, "v", group_by=["metric", "grp"], quantiles=QS,
+        mapping=MAPPING,
     ).collect()
     by_lang = [r for r in rows if r["metric"] == "doc_len"]
     latency = [r for r in rows if r["metric"] == "latency"]
