@@ -359,8 +359,10 @@ def _q_kll_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddsketch_ruby_spark.sketches.kll import KLLSpec
 
     (li,) = _tables(spark, sf_dir, "lineitem")
+    # k must exceed n for exact mode — size it from the table so the gate
+    # stays truthful at any scale factor (count() is a footer-only scan)
     spec = KLLSpec(
-        k=100_000, quantiles={"q25": 0.25, "q50": 0.5, "q90": 0.9}
+        k=li.count() + 1, quantiles={"q25": 0.25, "q50": 0.5, "q90": 0.9}
     )
     return sketch_agg(li, spec, "l_quantity", [])
 
@@ -1215,6 +1217,9 @@ def _hll_oracle_sql() -> str:
     spec = HLLSpec(p=14)
     p, m = spec.p, spec.m
     width = 64 - p
+    # the floor(log2) repair below is exact only while `low` (width bits)
+    # is exactly representable as a double
+    assert width <= 53, "HLL SQL oracle requires p >= 11"
     R = width + 1
     am2 = _alpha_m(m) * m * m
     frag, fin, h = _xxh64_chain("xh", "src")
@@ -1280,11 +1285,7 @@ def _cms_oracle_sql() -> str:
     ab = list(zip(spec._a.tolist(), spec._b.tolist()))
     frag_rows, fin_rows, h_rows = _xxh64_chain("cr", "rows_src")
     frag_top, fin_top, h_top = _xxh64_chain("ct", "top_keys")
-    idx_cols_rows = ", ".join(
-        f"{_cms_idx_expr('hm', a, b, spec.width)} AS idx{d}"
-        for d, (a, b) in enumerate(ab)
-    )
-    idx_cols_top = ", ".join(
+    idx_cols = ", ".join(
         f"{_cms_idx_expr('hm', a, b, spec.width)} AS idx{d}"
         for d, (a, b) in enumerate(ab)
     )
@@ -1301,14 +1302,14 @@ def _cms_oracle_sql() -> str:
     return f"""
 WITH rows_src AS (SELECT l_partkey AS x FROM lineitem){frag_rows},
 rows_hm AS (SELECT {h_rows} % {_M61} AS hm FROM {fin_rows}),
-rows_idx AS (SELECT {idx_cols_rows} FROM rows_hm),
+rows_idx AS (SELECT {idx_cols} FROM rows_hm),
 {cnt_ctes},
 top_keys AS (
   SELECT l_partkey, l_partkey AS x FROM lineitem
   GROUP BY l_partkey ORDER BY COUNT(*) DESC, l_partkey LIMIT 20
 ){frag_top},
 top_hm AS (SELECT l_partkey, {h_top} % {_M61} AS hm FROM {fin_top}),
-top_idx AS (SELECT l_partkey, {idx_cols_top} FROM top_hm)
+top_idx AS (SELECT l_partkey, {idx_cols} FROM top_hm)
 SELECT top_idx.l_partkey, CAST(LEAST({least}) AS DOUBLE) AS est_count
 FROM top_idx {joins}
 """

@@ -436,6 +436,7 @@ def ngram_jaccard_exact(
     min_jaccard: float = 0.5,
     shingle: int = 5,
     round_to: int = 6,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs via the relational algorithm: explode
     shingle sets, equi-join on the shingle hash (only pairs sharing a
@@ -443,8 +444,17 @@ def ngram_jaccard_exact(
     |A∪B| = |A|+|B|−|A∩B|. Fully distributed (shuffle keyed on the
     shingle hash); at corpus scale cap hot shingles first (the same
     stop-shingle consideration as minhash_lsh_pairs' bucket cap).
-    The verification baseline for the LSH candidate pipeline."""
-    rows = shingle_hash_rows(df, text_col, id_col, shingle).persist()
+    The verification baseline for the LSH candidate pipeline.
+
+    The shingle explosion is referenced three times (two join sides +
+    sizes); for repeated or large runs pass a cached DataFrame via
+    ``shingle_rows`` (from shingle_hash_rows) and manage its lifecycle —
+    no hidden persist() is taken here, so one-shot calls leak nothing."""
+    rows = (
+        shingle_rows
+        if shingle_rows is not None
+        else shingle_hash_rows(df, text_col, id_col, shingle)
+    )
     sizes = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     a, b = rows.alias("a"), rows.alias("b")
     common = (

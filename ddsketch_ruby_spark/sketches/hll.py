@@ -61,7 +61,10 @@ def hll_estimate(registers: np.ndarray) -> float:
     m = len(registers)
     p = m.bit_length() - 1
     R = 65 - p  # rho ranges over 1..R for occupied registers, 0 empty
-    vals, counts = np.unique(registers, return_counts=True)
+    # clamp out-of-range values (corrupt/foreign state) instead of letting
+    # a negative shift below raise — mirrors the old float formulation's
+    # graceful degradation (a too-large rho contributes ~0 to the sum)
+    vals, counts = np.unique(np.minimum(registers, R), return_counts=True)
     S = sum(int(c) << (R - int(v)) for v, c in zip(vals, counts))
     denom = float(S) * 2.0 ** (-R)
     raw = _alpha_m(m) * m * m / denom

@@ -197,8 +197,11 @@ def stream_stream_latency_join(
     the join state is bounded: Spark drops request state once no matching
     response can still arrive.
 
-    Returns (key..., req_ts, resp_ts, latency_s); feed into
-    sketch_stream_hist on ``latency_s`` with ``resp_ts`` as event time.
+    Returns (key..., <req ts>, <resp ts>, latency_s); feed into
+    sketch_stream_hist on ``latency_s`` with the response timestamp as
+    event time. If both streams name their event-time column the same
+    (e.g. both 'ts'), the response one is emitted as ``<name>_resp`` —
+    the returned DataFrame's columns are authoritative.
     """
     key_cols = list(key_cols)
     req = requests.withColumn(
@@ -207,8 +210,11 @@ def stream_stream_latency_join(
     resp = responses.withColumn(
         resp_ts_col, F.col(resp_ts_col).cast("timestamp")
     ).withWatermark(resp_ts_col, watermark)
-    # disambiguate key columns for the join condition
-    resp_renamed = resp
+    # disambiguate EVERY response-side column referenced in the condition —
+    # keys and the timestamp (both streams naming their event time 'ts' is
+    # the common case)
+    r_ts = f"__r_{resp_ts_col}"
+    resp_renamed = resp.withColumnRenamed(resp_ts_col, r_ts)
     for kc in key_cols:
         resp_renamed = resp_renamed.withColumnRenamed(kc, f"__r_{kc}")
     cond = F.lit(True)
@@ -216,17 +222,25 @@ def stream_stream_latency_join(
         cond = cond & (F.col(kc) == F.col(f"__r_{kc}"))
     cond = (
         cond
-        & (F.col(resp_ts_col) >= F.col(req_ts_col))
-        & (F.col(resp_ts_col) <= F.col(req_ts_col) + F.expr(f"INTERVAL {within}"))
+        & (F.col(r_ts) >= F.col(req_ts_col))
+        & (F.col(r_ts) <= F.col(req_ts_col) + F.expr(f"INTERVAL {within}"))
     )
     joined = req.join(resp_renamed, cond, "inner")
     latency = (
-        (
-            F.unix_micros(F.col(resp_ts_col)) - F.unix_micros(F.col(req_ts_col))
-        ).cast("double")
+        (F.unix_micros(F.col(r_ts)) - F.unix_micros(F.col(req_ts_col))).cast(
+            "double"
+        )
         / F.lit(1_000_000.0)
     ).alias(latency_col)
-    return joined.select(*key_cols, req_ts_col, resp_ts_col, latency)
+    resp_out = (
+        resp_ts_col if resp_ts_col != req_ts_col else f"{resp_ts_col}_resp"
+    )
+    return joined.select(
+        *key_cols,
+        req_ts_col,
+        F.col(r_ts).alias(resp_out),
+        latency,
+    )
 
 
 def sketch_stream_windowed(

@@ -261,7 +261,14 @@ def test_jvm_keys_bit_match_kernel(spark, mapping):
     }
     kern = {float(v): int(k) for v, k in zip(vals, m.key_batch(vals))}
     mism = {v: (got[v], kern[v]) for v in kern if got[v] != kern[v]}
-    assert not mism, list(mism.items())[:5]
+    if mapping == "logarithmic":
+        # the module contract for the log path only promises agreement up
+        # to the documented LOG2-vs-np.log2 last-ulp slack on bucket
+        # boundaries — allow off-by-one keys there (none observed on this
+        # libm, but don't overclaim)
+        assert all(abs(g - k) <= 1 for g, k in mism.values()), mism
+    else:
+        assert not mism, list(mism.items())[:5]
 
 
 @pytest.mark.parametrize("mapping", ["linear", "cubic"])

@@ -352,3 +352,21 @@ def test_stream_rocksdb_state_store(spark, stream_dir, tmp_path):
     for et, e in ref.items():
         assert final.loc[et, "count"] == e["count"]
         assert final.loc[et, "q50"] == pytest.approx(e["q50"], rel=1e-9)
+
+
+def test_stream_stream_join_same_ts_name(spark, tmp_path):
+    """Both streams naming their event time 'ts' (the common case) must
+    analyze cleanly — the response side is disambiguated internally and
+    emitted as ts_resp. Plan-time check; no query execution needed."""
+    from ddsketch_ruby_spark.streaming.sketch_stream import (
+        stream_stream_latency_join,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "samets")
+    src.select(F.col("event_id").alias("rid"), "ts").write.parquet(d)
+    a = spark.readStream.schema("rid long, ts timestamp_ntz").parquet(d)
+    b = spark.readStream.schema("rid long, ts timestamp_ntz").parquet(d)
+    joined = stream_stream_latency_join(a, b, ["rid"], "ts", "ts")
+    assert joined.columns == ["rid", "ts", "ts_resp", "latency_s"]
+    joined._jdf.queryExecution().analyzed()  # forces analysis
