@@ -367,6 +367,78 @@ def _q_kll_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_agg(li, spec, "l_quantity", [])
 
 
+def _q_tdigest_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest in exact mode: delta > pi*n means the k-scale assigns every
+    sorted point its own bucket, so no centroid ever absorbs a neighbor and
+    tdigest_quantile degenerates to piecewise-linear interpolation between
+    order statistics at centroid midpoints — SQL-expressible, pinning the
+    compress/merge/interpolation plumbing end-to-end. Merging partials
+    stays merge-free for the same reason, so the result is
+    partitioning-invariant."""
+    from ddsketch_ruby_spark.operators.agg import sketch_agg
+    from ddsketch_ruby_spark.sketches.tdigest import TDigestSpec
+
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    n = li.count()
+    spec = TDigestSpec(
+        delta=4.0 * n, quantiles={"q25": 0.25, "q50": 0.5, "q90": 0.9}
+    )
+    wide = sketch_agg(li, spec, "l_extendedprice", [])
+    return wide.select(
+        F.round("q25", 6).alias("q25"),
+        F.round("q50", 6).alias("q50"),
+        F.round("q90", 6).alias("q90"),
+        F.col("count"),
+    )
+
+
+def _tdigest_exact_oracle_sql() -> str:
+    """Centroid-midpoint piecewise-linear quantiles over unit weights:
+    cum[j] = (j+1) - 0.5 in rank space; target = q*n; interior points
+    interpolate m[i-1]..m[i] with f = (target - cum[i-1])/(cum[i]-cum[i-1])
+    — kernel/sketches/tdigest.py tdigest_quantile op-for-op."""
+    return """
+WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM v),
+mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM v),
+qs(qname, q) AS (VALUES ('q25', 0.25), ('q50', 0.5), ('q90', 0.9)),
+t AS (SELECT qname, q, q * cnt AS target, cnt FROM qs CROSS JOIN n),
+sel AS (
+  SELECT t.qname, t.target, t.cnt,
+         (SELECT MIN(rn) FROM r
+          WHERE CAST(rn AS DOUBLE) - 0.5 > t.target) AS i0
+  FROM t
+),
+fin AS (
+  SELECT qname,
+    CASE
+      WHEN target <= 0.5 THEN
+        (SELECT mn FROM mm)
+        + (target / 0.5)
+          * ((SELECT x FROM r WHERE rn = 1) - (SELECT mn FROM mm))
+      WHEN target >= cnt - 0.5 THEN
+        (SELECT x FROM r, n WHERE rn = CAST(cnt AS BIGINT))
+        + ((target - (cnt - 0.5)) / (cnt - (cnt - 0.5)))
+          * ((SELECT mx FROM mm)
+             - (SELECT x FROM r, n WHERE rn = CAST(cnt AS BIGINT)))
+      ELSE
+        (SELECT x FROM r WHERE rn = i0 - 1)
+        + ((target - (CAST(i0 - 1 AS DOUBLE) - 0.5))
+           / ((CAST(i0 AS DOUBLE) - 0.5) - (CAST(i0 - 1 AS DOUBLE) - 0.5)))
+          * ((SELECT x FROM r WHERE rn = i0)
+             - (SELECT x FROM r WHERE rn = i0 - 1))
+    END AS qv
+  FROM sel
+)
+SELECT MAX(CASE WHEN qname = 'q25' THEN ROUND(qv, 6) END) AS q25,
+       MAX(CASE WHEN qname = 'q50' THEN ROUND(qv, 6) END) AS q50,
+       MAX(CASE WHEN qname = 'q90' THEN ROUND(qv, 6) END) AS q90,
+       (SELECT cnt FROM n) AS count
+FROM fin
+"""
+
+
 def _q_cms_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency estimates for the 20 most-ordered parts —
     estimates must be >= true counts (one-sided), checked in pytest."""
@@ -763,6 +835,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tdigest_price_by_returnflag": _q_tdigest_price,
     "kll_quantity_quantiles": _q_kll_quantity,
     "kll_exact_quantity": _q_kll_exact,
+    "tdigest_exact_price": _q_tdigest_exact,
     "cms_heavy_parts": _q_cms_heavy_parts,
     "bloom_membership": _q_bloom_membership,
 }
@@ -1486,6 +1559,7 @@ JOIN sizes na ON na.doc_id = id_a
 JOIN sizes nb ON nb.doc_id = id_b
 WHERE ROUND(c / CAST(na.n + nb.n - c AS DOUBLE), 6) >= 0.5
 """,
+        "tdigest_exact_price": _tdigest_exact_oracle_sql(),
         "kll_exact_quantity": """
 WITH v AS (SELECT CAST(l_quantity AS DOUBLE) AS x FROM lineitem),
 r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v),
