@@ -1,0 +1,35 @@
+"""Plan lint over EVERY driver query: the input_hint contract is
+"vectorized pandas/Arrow UDFs (no per-row Python) throughout", and at
+corpus scale an accidental row-at-a-time PythonUDF or an unintended
+cartesian product is a silent 100x regression. Catch both at plan level.
+
+BatchEvalPython = row-at-a-time Python UDF (forbidden everywhere).
+ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas are the sanctioned
+vectorized operators. CartesianProduct is forbidden; the deliberate
+all-pairs verifiers express their O(n^2) join with an inequality
+condition, which plans as BroadcastNestedLoopJoin — allowed only for
+them.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+
+# queries whose FINAL plan is a driver-side createDataFrame (they collect
+# internally); their interesting plans are exercised by other tests
+_DRIVER_SIDE = {"cms_heavy_parts", "bloom_membership"}
+
+# deliberate bounded O(n^2) verifiers (inequality-join -> BNLJ)
+_ALLOW_NESTED_LOOP = {"cosine_allpairs_dup", "cosine_near_dup_pairs"}
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries()))
+def test_no_per_row_python_and_no_cartesian(spark, name):
+    df = entry.queries()[name](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in _ALLOW_NESTED_LOOP and name not in _DRIVER_SIDE:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected nested-loop join"
+        )
