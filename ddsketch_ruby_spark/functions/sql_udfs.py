@@ -11,8 +11,13 @@ output="state") can be queried from plain SQL:
 
     SELECT hll_card(registers) FROM hll_table
 
+    SELECT cms_est(counts, xxhash64(key)) FROM cms_table      -- width/depth
+    SELECT bloom_maybe(bits, xxhash64(key)) FROM bloom_table  -- from register_sketch_sql args
+
 The UDFs are Arrow-batched (one Python call per batch of groups), so
 finalizing a million persisted group sketches is itself vectorized.
+The probe UDFs (cms_est / bloom_maybe) are shuffle-free: the tiny state
+row broadcasts with the join/literal and each probe is O(depth) / O(k).
 """
 
 from __future__ import annotations
@@ -44,7 +49,16 @@ def _sketch_from_arrays(
     return s
 
 
-def register_sketch_sql(spark: SparkSession) -> None:
+def register_sketch_sql(
+    spark: SparkSession,
+    cms_width: int = 2048,
+    cms_depth: int = 5,
+    bloom_expected_items: int = 1_000_000,
+    bloom_fpp: float = 0.01,
+) -> None:
+    """The CMS/Bloom probe UDFs need the sketch geometry (it is plan-time
+    configuration, never shipped per row); pass the same parameters the
+    states were built with."""
     @pandas_udf(T.DoubleType())
     def ddsketch_q(
         q: pd.Series,
@@ -82,5 +96,31 @@ def register_sketch_sql(spark: SparkSession) -> None:
             dtype="float64",
         )
 
+    @pandas_udf(T.DoubleType())
+    def cms_est(counts: pd.Series, hashed: pd.Series) -> pd.Series:
+        from ..sketches.cms import CMSSpec
+
+        spec = CMSSpec(width=cms_width, depth=cms_depth)
+        out = []
+        for i in range(len(counts)):
+            state = spec.row_to_state({"counts": counts.iloc[i]})
+            out.append(float(spec.estimate(state, [int(hashed.iloc[i])])[0]))
+        return pd.Series(out, dtype="float64")
+
+    @pandas_udf(T.BooleanType())
+    def bloom_maybe(bits: pd.Series, hashed: pd.Series) -> pd.Series:
+        from ..sketches.bloom import BloomSpec
+
+        spec = BloomSpec(
+            expected_items=bloom_expected_items, fpp=bloom_fpp
+        )
+        out = []
+        for i in range(len(bits)):
+            state = spec.row_to_state({"bits": bits.iloc[i]})
+            out.append(bool(spec.contains(state, [int(hashed.iloc[i])])[0]))
+        return pd.Series(out, dtype="bool")
+
     spark.udf.register("ddsketch_q", ddsketch_q)
     spark.udf.register("hll_card", hll_card)
+    spark.udf.register("cms_est", cms_est)
+    spark.udf.register("bloom_maybe", bloom_maybe)

@@ -52,3 +52,58 @@ def test_sql_hll_cardinality(spark, sf_dir):
     for r in rows:
         d = exact[r["event_type"]]
         assert abs(r["card"] - d) / d < 0.1
+
+
+def test_cms_est_and_bloom_maybe_sql(spark, sf_dir):
+    """CMS point estimates and Bloom membership straight from SQL text over
+    persisted state rows — estimates >= truth (one-sided) and no false
+    negatives, matching the spec-level probes."""
+    from pyspark.sql import functions as F
+
+    from ddsketch_ruby_spark.functions.sql_udfs import register_sketch_sql
+    from ddsketch_ruby_spark.operators.agg import sketch_agg
+    from ddsketch_ruby_spark.sketches.bloom import BloomSpec
+    from ddsketch_ruby_spark.sketches.cms import CMSSpec
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    register_sketch_sql(
+        spark, cms_width=4096, cms_depth=5,
+        bloom_expected_items=10_000, bloom_fpp=0.01,
+    )
+
+    cms_state = sketch_agg(
+        li.select(F.xxhash64("l_partkey").alias("h")),
+        CMSSpec(width=4096, depth=5), "h", [], output="state",
+    )
+    cms_state.createOrReplaceTempView("cms_state")
+    truth = {
+        r["l_partkey"]: r["cnt"]
+        for r in li.groupBy("l_partkey").agg(F.count("*").alias("cnt")).limit(50).collect()
+    }
+    spark.createDataFrame(
+        [(int(k),) for k in truth], "l_partkey long"
+    ).createOrReplaceTempView("probe_keys")
+    est = {
+        r["l_partkey"]: r["est"]
+        for r in spark.sql(
+            "SELECT p.l_partkey, cms_est(s.counts, xxhash64(p.l_partkey)) AS est "
+            "FROM probe_keys p CROSS JOIN cms_state s"
+        ).collect()
+    }
+    assert all(est[k] >= truth[k] for k in truth)  # one-sided error
+
+    bloom_state = sketch_agg(
+        li.select(F.xxhash64("l_suppkey").alias("h")),
+        BloomSpec(expected_items=10_000, fpp=0.01), "h", [], output="state",
+    )
+    bloom_state.createOrReplaceTempView("bloom_state")
+    members = spark.sql(
+        "SELECT p.l_partkey AS k, "
+        "bloom_maybe(s.bits, xxhash64(CAST(p.l_partkey AS BIGINT))) AS m "
+        "FROM probe_keys p CROSS JOIN bloom_state s"
+    )
+    present = {r["l_suppkey"] for r in li.select("l_suppkey").distinct().collect()}
+    got = {r["k"]: r["m"] for r in members.collect()}
+    for k, m in got.items():
+        if k in present:
+            assert m, k  # no false negatives
