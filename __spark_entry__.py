@@ -776,8 +776,87 @@ def _q_ddsketch_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("bin_count") > 0)
 
 
+def _q_ddsketch_collapsed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapsing-LOWEST store semantics under the driver gate (T8-T11):
+    bin_limit=20 per event_type forces the collapse clamp to fire — every
+    key behaves as if clamped to max_key - bin_limit + 1, the reference's
+    order-insensitive contract
+    (collapsing_lowest_dense_store.rb:91-102, spec
+    collapsing_lowest_dense_store_spec.rb:35-38). The oracle replays it as
+    GREATEST(k, max_k - 19)."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_state
+
+    (events,) = _tables(spark, sf_dir, "events")
+    state = ddsketch_state(
+        events.filter(F.col("value") > 0),
+        "value",
+        ["event_type"],
+        store_type="collapsing_lowest",
+        bin_limit=20,
+        engine="jvm",
+    )
+    return state.select(
+        "event_type",
+        F.posexplode("pos_bins").alias("pos", "bin_count"),
+        F.col("pos_offset"),
+    ).select(
+        "event_type",
+        (F.col("pos") + F.col("pos_offset")).alias("bucket_key"),
+        F.col("bin_count"),
+    ).filter(F.col("bin_count") > 0)
+
+
+def _q_ddsketch_collapsed_high_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapsing-HIGHEST twin (T12-T14): keys clamp to
+    min_key + bin_limit - 1 (collapsing_highest_dense_store.rb:46-140, spec
+    collapsing_highest_dense_store_spec.rb:35-38); oracle LEAST(k, min_k + 19)."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_state
+
+    (events,) = _tables(spark, sf_dir, "events")
+    state = ddsketch_state(
+        events.filter(F.col("value") > 0),
+        "value",
+        ["event_type"],
+        store_type="collapsing_highest",
+        bin_limit=20,
+        engine="jvm",
+    )
+    return state.select(
+        "event_type",
+        F.posexplode("pos_bins").alias("pos", "bin_count"),
+        F.col("pos_offset"),
+    ).select(
+        "event_type",
+        (F.col("pos") + F.col("pos_offset")).alias("bucket_key"),
+        F.col("bin_count"),
+    ).filter(F.col("bin_count") > 0)
+
+
+def _collapsed_bins_oracle_sql(clamp: str) -> str:
+    """Histogram oracle with the collapsing clamp applied per group.
+    clamp='lowest' -> GREATEST(k, MAX(k)-19); 'highest' -> LEAST(k, MIN(k)+19)."""
+    if clamp == "lowest":
+        bound = "MAX(k) OVER (PARTITION BY event_type) - 19"
+        expr = f"GREATEST(k, {bound})"
+    else:
+        bound = "MIN(k) OVER (PARTITION BY event_type) + 19"
+        expr = f"LEAST(k, {bound})"
+    return f"""
+WITH keys AS (
+  SELECT event_type,
+         CAST(CEIL(LN(value) / LN(2.0) * {_dlit(MULT)}) AS BIGINT) AS k
+  FROM events WHERE value > 0
+),
+clamped AS (SELECT event_type, {expr} AS bucket_key FROM keys)
+SELECT event_type, bucket_key, CAST(COUNT(*) AS DOUBLE) AS bin_count
+FROM clamped GROUP BY event_type, bucket_key
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_bins_events": _q_ddsketch_bins,
+    "ddsketch_collapsed_bins": _q_ddsketch_collapsed_bins,
+    "ddsketch_collapsed_high_bins": _q_ddsketch_collapsed_high_bins,
     "ddsketch_daily_value": _q_ddsketch_daily,
     "ddsketch_price_by_brand": _q_ddsketch_price_by_brand,
     "props_k_stats": _q_props_k_stats,
@@ -1459,6 +1538,8 @@ SELECT CAST(CEIL(LN(value) / LN(2.0) * {_dlit(MULT)}) AS BIGINT) AS bucket_key,
        CAST(COUNT(*) AS DOUBLE) AS bin_count
 FROM events WHERE value > 0 GROUP BY bucket_key
 """,
+        "ddsketch_collapsed_bins": _collapsed_bins_oracle_sql("lowest"),
+        "ddsketch_collapsed_high_bins": _collapsed_bins_oracle_sql("highest"),
         "ddsketch_daily_value": _ddsketch_oracle_sql(
             "value", "(SELECT CAST(ts AS DATE) AS day, value FROM events) AS t",
             ["day"], _QS,
