@@ -888,13 +888,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ddsketch_ruby_spark.operators.dedup", fromlist=["cosine_near_dup_pairs"]
     ).cosine_near_dup_pairs(
         _tables(spark, sf_dir, "embeddings")[0], "embedding", "vec_id",
-        min_cosine=0.3, n_planes=6,
+        min_cosine=0.3, n_planes=6, dim=64,
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine")),
     "ngram_jaccard_exact": lambda spark, sf_dir: __import__(
         "ddsketch_ruby_spark.operators.dedup", fromlist=["ngram_jaccard_exact"]
     ).ngram_jaccard_exact(
         _tables(spark, sf_dir, "documents")[0], "text", "doc_id",
-        min_jaccard=0.5,
+        min_jaccard=0.5, max_doc_freq=100,
     ),
     "cosine_allpairs_dup": lambda spark, sf_dir: __import__(
         "ddsketch_ruby_spark.operators.dedup", fromlist=["cosine_pairs_exact"]
@@ -1626,7 +1626,9 @@ FROM documents GROUP BY lang
         "minhash_sig_matrix": _minhash_oph_oracle_sql(),
         "ngram_jaccard_exact": f"""
 WITH src AS (SELECT doc_id, text AS t FROM documents){_shingle_cte_chain("jg", "src", width=5)[0]},
-rows_h AS (SELECT doc_id, unnest(jg_hs) AS h FROM jg3),
+all_h AS (SELECT doc_id, unnest(jg_hs) AS h FROM jg3),
+hot AS (SELECT h FROM all_h GROUP BY h HAVING COUNT(*) > 100),
+rows_h AS (SELECT * FROM all_h WHERE h NOT IN (SELECT h FROM hot)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM rows_h GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c

@@ -246,12 +246,19 @@ def minhash_lsh_pairs(
         ).alias("bucket"),
     )
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
-        exploded = exploded.withColumn("__bn", bucket_n).filter(
-            F.col("__bn") <= max_bucket_size
-        ).drop("__bn")
+        # Aggregate bucket sizes (map-side combine: the shuffle carries one
+        # row per distinct bucket) and join the small sizes back, instead of
+        # a Window.partitionBy("bucket") count — a window would funnel the
+        # hottest bucket's rows into ONE task before dropping them, which is
+        # exactly the skew this cap exists to prevent. The join keys both
+        # sides on `bucket`, the same partitioning the self-join below needs.
+        keep = (
+            exploded.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .select("bucket")
+        )
+        exploded = exploded.join(keep, "bucket")
     left = exploded.alias("l")
     right = exploded.alias("r")
     pairs = (
@@ -362,13 +369,20 @@ def cosine_near_dup_pairs(
     min_cosine: float = 0.9,
     n_planes: int = 12,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket
     self-join for candidates (identical sign pattern — high-cosine pairs
-    collide with high probability), exact cosine rerank JVM-side."""
+    collide with high probability), exact cosine rerank JVM-side.
+
+    Pass ``dim`` (the embedding dimensionality) explicitly — it is
+    plan-time configuration. When omitted, it is read from the first row,
+    which triggers a driver-side scan action at plan-construction time;
+    never rely on that at scale."""
     from .similarity import lsh_bucket
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     b = lsh_bucket(df, vec_col, dim, n_planes, seed).select(
         F.col(id_col), F.col(vec_col), F.col("lsh_bucket")
     )
@@ -437,14 +451,23 @@ def ngram_jaccard_exact(
     shingle: int = 5,
     round_to: int = 6,
     shingle_rows: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs via the relational algorithm: explode
     shingle sets, equi-join on the shingle hash (only pairs sharing a
     shingle ever meet — no cross join), count intersections, derive
     |A∪B| = |A|+|B|−|A∩B|. Fully distributed (shuffle keyed on the
-    shingle hash); at corpus scale cap hot shingles first (the same
-    stop-shingle consideration as minhash_lsh_pairs' bucket cap).
-    The verification baseline for the LSH candidate pipeline.
+    shingle hash). The verification baseline for the LSH candidate
+    pipeline.
+
+    ``max_doc_freq`` caps hot shingles: a stop-shingle shared by d
+    documents contributes d^2/2 join rows, so one boilerplate fragment in
+    10^6 docs means a 10^12-row join. Shingles with document frequency
+    above the cap are removed from the shingle universe BEFORE the
+    self-join (aggregate + anti-join, map-side combined — same shape as
+    minhash_lsh_pairs' bucket cap); sizes and intersections are both
+    computed on the filtered universe, so the Jaccard stays a true set
+    similarity over the kept shingles. At corpus scale always set a cap.
 
     The shingle explosion is referenced three times (two join sides +
     sizes); for repeated or large runs pass a cached DataFrame via
@@ -455,6 +478,14 @@ def ngram_jaccard_exact(
         if shingle_rows is not None
         else shingle_hash_rows(df, text_col, id_col, shingle)
     )
+    if max_doc_freq is not None:
+        hot = (
+            rows.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("h")
+        )
+        rows = rows.join(hot, "h", "left_anti")
     sizes = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     a, b = rows.alias("a"), rows.alias("b")
     common = (
@@ -535,6 +566,12 @@ def dedup_clusters(
     neighbors; converges in O(diameter) rounds, and near-dup cluster
     diameters are tiny in practice. Each round is one shuffle of
     (id, label) pairs — no driver-side graph.
+
+    Each round's labels are ``localCheckpoint``-ed (eager) so the plan is
+    truncated per iteration: without it the lineage nests one join+agg per
+    round and any recomputation (or just planning) explodes combinatorially
+    with the iteration count — the difference between O(rounds) and
+    O(rounds^2)+ work at corpus scale.
     """
     edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
@@ -547,6 +584,7 @@ def dedup_clusters(
         .withColumn("cluster_id", F.col("id"))
     )
     edges = edges.cache()
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["id"])
@@ -561,7 +599,7 @@ def dedup_clusters(
                     F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-        )
+        ).localCheckpoint(eager=True)  # truncate lineage before the probe
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -599,11 +637,11 @@ def simhash(
                     hashes.append(0)
                     continue
                 votes = ((sh[:, None] >> bits[None, :]) & np.uint64(1)).sum(axis=0)
-                fp = np.uint64(0)
-                for i in range(64):
-                    if votes[i] * 2 >= len(sh):
-                        fp |= np.uint64(1) << np.uint64(i)
-                hashes.append(int(fp.astype(np.int64)))
+                majority = votes * 2 >= len(sh)
+                # distinct powers of two: the uint64 sum is exact; convert
+                # to the signed-64 wire representation in Python int space
+                fp = int((np.uint64(1) << bits)[majority].sum(dtype=np.uint64))
+                hashes.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
             yield pd.DataFrame({id_col: pdf[id_col].values, "simhash": hashes})
 
     return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)

@@ -372,3 +372,64 @@ def test_exact_dedup_128bit(spark, textdf):
         ).collect()
     }
     assert out64 == out128
+
+
+def test_lsh_bucket_cap_plan_uses_aggregate_not_window(spark):
+    """The cap must be an aggregate+join (map-side combinable), never a
+    Window.partitionBy(bucket) — a window would shuffle the entire
+    mega-bucket into one task before dropping it."""
+    from ddsketch_ruby_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some text") for i in range(8)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(
+        df, "text", "doc_id", num_hashes=64, bands=16, max_bucket_size=10
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_dedup_clusters_bounded_plan_on_chain(spark):
+    """A chain graph needs O(diameter) label-propagation rounds; the
+    per-round localCheckpoint must keep the final plan flat (reading the
+    checkpointed RDD) instead of nesting 14 join+agg rounds of lineage."""
+    from ddsketch_ruby_spark.operators.dedup import dedup_clusters
+
+    n = 15  # diameter 14 -> >= 10 iterations before convergence
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels = dedup_clusters(pairs)
+    got = {r["id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    plan = labels._jdf.queryExecution().executedPlan().toString()
+    # checkpointed: the returned frame scans an existing RDD, no joins left
+    assert "Join" not in plan
+    assert len(plan.splitlines()) < 10
+
+
+def test_ngram_hot_shingle_cap(spark):
+    """A boilerplate fragment shared by many docs must not survive into the
+    shingle self-join when max_doc_freq caps it; genuine near-dups with
+    unique content still pair up with exact Jaccard."""
+    from ddsketch_ruby_spark.operators.dedup import ngram_jaccard_exact
+
+    boiler = "all rights reserved copyright footer text " * 3
+    rows = [(i, boiler) for i in range(30)]  # 30 identical boilerplate docs
+    rows += [
+        (100, "a unique document about distributed sketches and quantiles"),
+        (101, "a unique document about distributed sketches and quantile"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_jaccard_exact(
+        df, "text", "doc_id", min_jaccard=0.5, max_doc_freq=10
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert pairs == {(100, 101)}  # boilerplate shingles all exceed the cap
+    uncapped = ngram_jaccard_exact(
+        df, "text", "doc_id", min_jaccard=0.5, max_doc_freq=None
+    ).count()
+    assert uncapped >= 30 * 29 / 2  # the quadratic join the cap avoids
