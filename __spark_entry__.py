@@ -832,6 +832,90 @@ def _q_ddsketch_collapsed_high_bins(spark: SparkSession, sf_dir: str) -> DataFra
     ).filter(F.col("bin_count") > 0)
 
 
+def _q_proto_roundtrip_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proto interchange (P1-P3) under the driver gate: per-event_type
+    sketches over the SIGNED measure value-50 (so positive store, negative
+    store AND zeroCount all carry mass) are serialized to proto3 DDSketch
+    wire bytes (kernel/proto.py, reference ddsketch.proto:15-66 /
+    proto.rb:18-44), re-read with the decoder, and the reconstructed bins
+    emitted. The oracle recomputes the three-zone histogram from raw rows —
+    any drift in varint/zigzag/packed-double encoding or store offsets
+    breaks the hash."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ddsketch_ruby_spark.kernel.proto import (
+        deserialize_sketch,
+        serialize_sketch,
+    )
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_state
+    from ddsketch_ruby_spark.sketches.ddsketch_spec import DDSketchSpec
+
+    (events,) = _tables(spark, sf_dir, "events")
+    state = ddsketch_state(
+        events.withColumn("v", F.col("value") - F.lit(50.0)),
+        "v",
+        ["event_type"],
+        engine="jvm",
+    )
+    spec = DDSketchSpec(include_stats=False)
+    out_schema = T.StructType(
+        [
+            next(f for f in state.schema.fields if f.name == "event_type"),
+            T.StructField("zone", T.StringType()),
+            T.StructField("bucket_key", T.LongType()),
+            T.StructField("bin_count", T.DoubleType()),
+        ]
+    )
+
+    def roundtrip(batches):
+        cols = ["event_type", "zone", "bucket_key", "bin_count"]
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                s2 = deserialize_sketch(serialize_sketch(spec.row_to_state(row)))
+                et = row["event_type"]
+                for k, c in s2.store.key_counts().items():
+                    outs.append((et, "pos", k, c))
+                for k, c in s2.negative_store.key_counts().items():
+                    outs.append((et, "neg", k, c))
+                if s2.zero_count > 0:
+                    outs.append((et, "zero", 0, s2.zero_count))
+            if outs:
+                yield pd.DataFrame(outs, columns=cols)
+
+    return state.mapInPandas(roundtrip, schema=out_schema)
+
+
+def _proto_roundtrip_oracle_sql() -> str:
+    """Three-zone histogram of value-50 per event_type from raw rows —
+    what a lossless proto round-trip must reproduce exactly."""
+    from ddsketch_ruby_spark.kernel.mapping import mapping_from_name
+
+    m = mapping_from_name("logarithmic", ALPHA)
+    key = lambda col: (  # noqa: E731
+        f"CAST(CEIL(LN({col}) / LN(2.0) * {_dlit(m._multiplier)}) AS BIGINT)"
+    )
+    mp = m.min_possible
+    return f"""
+WITH vals AS (
+  SELECT event_type, CAST(value - 50.0 AS DOUBLE) AS v FROM events
+)
+SELECT event_type, 'pos' AS zone, {key("v")} AS bucket_key,
+       CAST(COUNT(*) AS DOUBLE) AS bin_count
+FROM vals WHERE v > {_dlit(mp)} GROUP BY event_type, bucket_key
+UNION ALL
+SELECT event_type, 'neg' AS zone, {key("-v")} AS bucket_key,
+       CAST(COUNT(*) AS DOUBLE) AS bin_count
+FROM vals WHERE v < {_dlit(-mp)} GROUP BY event_type, bucket_key
+UNION ALL
+SELECT event_type, 'zero' AS zone, CAST(0 AS BIGINT) AS bucket_key,
+       CAST(COUNT(*) AS DOUBLE) AS bin_count
+FROM vals WHERE v >= {_dlit(-mp)} AND v <= {_dlit(mp)}
+GROUP BY event_type
+"""
+
+
 def _collapsed_bins_oracle_sql(clamp: str) -> str:
     """Histogram oracle with the collapsing clamp applied per group.
     clamp='lowest' -> GREATEST(k, MAX(k)-19); 'highest' -> LEAST(k, MIN(k)+19)."""
@@ -857,6 +941,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_bins_events": _q_ddsketch_bins,
     "ddsketch_collapsed_bins": _q_ddsketch_collapsed_bins,
     "ddsketch_collapsed_high_bins": _q_ddsketch_collapsed_high_bins,
+    "proto_roundtrip_bins": _q_proto_roundtrip_bins,
     "ddsketch_daily_value": _q_ddsketch_daily,
     "ddsketch_price_by_brand": _q_ddsketch_price_by_brand,
     "props_k_stats": _q_props_k_stats,
@@ -1540,6 +1625,7 @@ FROM events WHERE value > 0 GROUP BY bucket_key
 """,
         "ddsketch_collapsed_bins": _collapsed_bins_oracle_sql("lowest"),
         "ddsketch_collapsed_high_bins": _collapsed_bins_oracle_sql("highest"),
+        "proto_roundtrip_bins": _proto_roundtrip_oracle_sql(),
         "ddsketch_daily_value": _ddsketch_oracle_sql(
             "value", "(SELECT CAST(ts AS DATE) AS day, value FROM events) AS t",
             ["day"], _QS,

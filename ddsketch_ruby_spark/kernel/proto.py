@@ -245,8 +245,18 @@ def deserialize_sketch(
         rel_acc = gamma
     else:
         rel_acc = (gamma - 1.0) / (gamma + 1.0)
+    if interp not in _INTERP_NAME:
+        # reference enum declares QUADRATIC = 2 (ddsketch.proto:38-44) but
+        # no implementation ships it (proto.rb:18-44 maps NONE/LINEAR/CUBIC
+        # only); reject foreign payloads explicitly instead of silently
+        # misreading them as logarithmic
+        raise ValueError(
+            f"unsupported IndexMapping interpolation enum {interp}; "
+            "supported: NONE(0), LINEAR(1), CUBIC(3) — QUADRATIC(2) has no "
+            "reference implementation"
+        )
     mapping = mapping_from_name(
-        _INTERP_NAME.get(interp) or "logarithmic", rel_acc, offset
+        _INTERP_NAME[interp] or "logarithmic", rel_acc, offset
     )
     sketch = DDSketch(rel_acc, store_type, bin_limit, mapping=mapping)
     tmpl = sketch.store

@@ -147,3 +147,21 @@ def test_wire_format_golden_fixture():
         "0a0909fd4a815abf52f03f12a30212a0",
         "000000f03f186e21000000000000f03f",
     ), (len(h), h[:32], h[-32:])
+
+
+def test_quadratic_interpolation_rejected():
+    """Reference enum declares QUADRATIC=2 (ddsketch.proto:38-44) but no
+    implementation ships it; a foreign payload tagged QUADRATIC must be
+    rejected explicitly, not silently decoded as logarithmic."""
+    from ddsketch_ruby_spark.kernel.proto import (
+        _double_field,
+        _len_field,
+        _tag,
+        _varint,
+        deserialize_sketch,
+    )
+
+    mapping_buf = _double_field(1, 1.02) + _tag(3, 0) + _varint(2)
+    data = _len_field(1, mapping_buf)
+    with pytest.raises(ValueError, match="QUADRATIC"):
+        deserialize_sketch(data)
