@@ -58,6 +58,7 @@ def _ddsketch_oracle_sql(
     group_cols: list[str],
     qs: dict[str, float],
     mapping: str = "logarithmic",
+    offset: float = 0.0,
 ) -> str:
     """DuckDB SQL replicating the DDSketch quantile pipeline exactly, for
     any of the three key mappings.
@@ -75,7 +76,9 @@ def _ddsketch_oracle_sql(
     bin-for-bin in tests)."""
     from ddsketch_ruby_spark.kernel.mapping import mapping_from_name
 
-    m = mapping_from_name(mapping, ALPHA)
+    m = mapping_from_name(mapping, ALPHA, offset)
+    if offset and mapping != "logarithmic":
+        raise NotImplementedError("offset oracle implemented for logarithmic")
     mult = m._multiplier
     coeff = 2.0 / (1.0 + m.gamma)
     g = ", ".join(group_cols)
@@ -85,15 +88,27 @@ def _ddsketch_oracle_sql(
     join_n = f"JOIN n USING ({g})" if g else "CROSS JOIN n"
 
     if mapping == "logarithmic":
+        if offset:
+            # fractional offset: Ruby Integer() truncates toward zero
+            # (key_mapping.rb:69-71) — the Spark fast path casts
+            # double -> long, mirrored here as TRUNC + CAST
+            key_expr = (
+                f"CAST(TRUNC(CEIL(LN(v) / LN(2.0) * {_dlit(mult)})"
+                f" + {_dlit(offset)}) AS BIGINT)"
+            )
+            pow_arg = f"(CAST(kq AS DOUBLE) - {_dlit(offset)})"
+        else:
+            key_expr = f"CAST(CEIL(LN(v) / LN(2.0) * {_dlit(mult)}) AS BIGINT)"
+            pow_arg = "kq"
         hist = f"""
 hist AS (
-  SELECT {g_comma}CAST(CEIL(LN(v) / LN(2.0) * {_dlit(mult)}) AS BIGINT) AS k,
+  SELECT {g_comma}{key_expr} AS k,
          CAST(COUNT(*) AS DOUBLE) AS c
   FROM vals GROUP BY {g_comma}k
 ),"""
         final = (
             f"SELECT {g_comma}qname, "
-            f"ROUND(POWER({_dlit(m.gamma)}, kq) * {_dlit(coeff)}, 6) AS qvalue "
+            f"ROUND(POWER({_dlit(m.gamma)}, {pow_arg}) * {_dlit(coeff)}, 6) AS qvalue "
             f"FROM keys"
         )
     else:
@@ -714,6 +729,20 @@ def _q_ddsketch_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ddsketch_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRACTIONAL mapping offset (-12.23, one of the reference spec sweep
+    values, shared_context_for_mapping.rb:70-78) on the JVM fast path:
+    keys are trunc-toward-zero of ceil(log_gamma(v)) + offset, matching
+    Ruby Integer() (key_mapping.rb:69-71)."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_quantiles_long
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return ddsketch_quantiles_long(
+        events.filter(F.col("value") > 0), "value", quantiles=_QS,
+        mapping_offset=-12.23,
+    )
+
+
 def _q_ddsketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed sketches: per-day latency quantiles over the events
     stream table (the hypertable-rollup shape)."""
@@ -942,6 +971,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_collapsed_bins": _q_ddsketch_collapsed_bins,
     "ddsketch_collapsed_high_bins": _q_ddsketch_collapsed_high_bins,
     "proto_roundtrip_bins": _q_proto_roundtrip_bins,
+    "ddsketch_offset_events": _q_ddsketch_offset,
     "ddsketch_daily_value": _q_ddsketch_daily,
     "ddsketch_price_by_brand": _q_ddsketch_price_by_brand,
     "props_k_stats": _q_props_k_stats,
@@ -1626,6 +1656,9 @@ FROM events WHERE value > 0 GROUP BY bucket_key
         "ddsketch_collapsed_bins": _collapsed_bins_oracle_sql("lowest"),
         "ddsketch_collapsed_high_bins": _collapsed_bins_oracle_sql("highest"),
         "proto_roundtrip_bins": _proto_roundtrip_oracle_sql(),
+        "ddsketch_offset_events": _ddsketch_oracle_sql(
+            "value", "events", [], _QS, offset=-12.23
+        ),
         "ddsketch_daily_value": _ddsketch_oracle_sql(
             "value", "(SELECT CAST(ts AS DATE) AS day, value FROM events) AS t",
             ["day"], _QS,

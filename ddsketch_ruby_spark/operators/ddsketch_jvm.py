@@ -74,12 +74,14 @@ def key_column(mapping, v):
     """Bucket key of positive column ``v`` under ``mapping``, bit-identical
     to ``kernel.mapping.KeyMapping.key_batch`` (LONG column).
 
-    Requires integral mapping offset (the operator layer never produces a
-    fractional one; the python engine handles that corner).
+    Fractional offsets (reference spec sweeps {-12.23, 7768.3},
+    shared_context_for_mapping.rb:70-78) reproduce Ruby ``Integer()`` —
+    truncation toward zero — via a double add then CAST(double AS LONG),
+    which Spark defines as truncate-toward-zero: the identical IEEE op
+    order as the kernel's ``trunc(ceil(log_gamma(v)) + offset)``
+    (kernel/mapping.py:68-73, key_mapping.rb:69-71).
     """
     mult = mapping._multiplier
-    if mapping.offset != int(mapping.offset):
-        raise ValueError("JVM path requires an integral mapping offset")
     if mapping.interpolation is None:  # logarithmic
         raw = F.ceil(F.log2(v) * F.lit(mult))
     else:
@@ -93,7 +95,11 @@ def key_column(mapping, v):
             A, B, C = mapping._A, mapping._B, mapping._C
             approx = ((F.lit(A) * s + F.lit(B)) * s + F.lit(C)) * s + ed
         raw = F.ceil(approx * F.lit(mult))
-    return raw + F.lit(int(mapping.offset))
+    if mapping.offset == int(mapping.offset):
+        # integral offset: stay in exact LONG arithmetic
+        return raw + F.lit(int(mapping.offset))
+    # ceil-as-long -> double is exact for |key| < 2^53
+    return (raw.cast("double") + F.lit(float(mapping.offset))).cast("long")
 
 
 def _histogram(

@@ -64,6 +64,7 @@ def ddsketch_quantiles(
     value_formula: str = "reference",
     tree_fanin: int | None = None,
     engine: str = "auto",
+    mapping_offset: float = 0.0,
 ) -> DataFrame:
     """One row per group: requested quantile columns (+ exact count/sum/
     min/max/avg, which the sketch tracks exactly and a SQL oracle can
@@ -76,6 +77,7 @@ def ddsketch_quantiles(
         quantiles=_quantile_map(quantiles),
         include_stats=include_stats,
         value_formula=value_formula,
+        mapping_offset=mapping_offset,
     )
     return _dispatch(
         engine, df, spec, value_col, list(group_by), weight_col, "result",
@@ -94,6 +96,7 @@ def ddsketch_quantiles_long(
     engine: str = "auto",
     mapping: str = "logarithmic",
     value_formula: str | None = None,
+    mapping_offset: float = 0.0,
 ) -> DataFrame:
     """Long format: one row per (group, quantile) with columns
     (group..., qname, qvalue), rounded to ``round_to`` decimals so an
@@ -117,6 +120,7 @@ def ddsketch_quantiles_long(
         mapping=mapping,
         tree_fanin=tree_fanin,
         engine=engine,
+        mapping_offset=mapping_offset,
     )
     stack_args = ", ".join(
         f"'{name}', round({name}, {round_to})" for name in qmap

@@ -43,15 +43,19 @@ class DDSketchSpec(SketchSpec):
         quantiles: dict[str, float] | None = None,
         include_stats: bool = True,
         value_formula: str = "reference",
+        mapping_offset: float = 0.0,
     ) -> None:
         """value_formula: "reference" uses the kernel's pow_gamma
         (2**(k/multiplier), bit-faithful to the reference); "pow" computes
         gamma**k * 2/(1+gamma) with libm pow — algebraically identical,
-        chosen so SQL oracles (POWER(gamma, k)) reproduce it bit-for-bit."""
+        chosen so SQL oracles (POWER(gamma, k)) reproduce it bit-for-bit.
+        mapping_offset: the key-mapping index offset (may be fractional,
+        key_mapping.rb:69-71)."""
         self.relative_accuracy = relative_accuracy
         self.store_type = store_type
         self.bin_limit = bin_limit
         self.mapping = mapping
+        self.mapping_offset = mapping_offset
         self.quantiles = (
             quantiles
             if quantiles is not None
@@ -65,7 +69,11 @@ class DDSketchSpec(SketchSpec):
     # -- monoid ---------------------------------------------------------
     def zero(self) -> DDSketch:
         return DDSketch(
-            self.relative_accuracy, self.store_type, self.bin_limit, self.mapping
+            self.relative_accuracy,
+            self.store_type,
+            self.bin_limit,
+            self.mapping,
+            offset=self.mapping_offset,
         )
 
     def update(

@@ -158,18 +158,22 @@ def test_proto_round_trip_property(proto_roundtrip):
         max_size=60,
     ),
     mapping=st.sampled_from(["logarithmic", "linear", "cubic"]),
+    offset=st.sampled_from([0.0, 3.0, -12.23, 7768.3]),
 )
-def test_jvm_key_expr_matches_kernel_property(spark, vals, mapping):
+def test_jvm_key_expr_matches_kernel_property(spark, vals, mapping, offset):
     """Hypothesis depth on top of the fixed adversarial grid
     (test_spark_ddsketch.test_jvm_keys_bit_match_kernel): the SQL key
     expression must equal kernel key_batch bit-for-bit on arbitrary
-    positive doubles."""
+    positive doubles, for every mapping and for integral AND fractional
+    index offsets (the fractional ones are the reference spec sweep values,
+    shared_context_for_mapping.rb:70-78; Ruby Integer() = trunc toward
+    zero)."""
     from pyspark.sql import functions as F
 
     from ddsketch_ruby_spark.kernel.mapping import mapping_from_name
     from ddsketch_ruby_spark.operators.ddsketch_jvm import key_column
 
-    m = mapping_from_name(mapping, 0.01)
+    m = mapping_from_name(mapping, 0.01, offset)
     arr = np.array(vals, dtype=np.float64)
     df = spark.createDataFrame([(float(v),) for v in arr], "v double")
     got = {
