@@ -73,7 +73,6 @@ class CheckpointedSketchBuild:
             sid = self._split_id(path)
             t0 = time.monotonic()
             df = self.spark.read.parquet(path)
-            n_rows = df.count()
             partial = sketch_agg(
                 df, self.spec, self.value_col, self.group_by, output="state"
             )
@@ -86,6 +85,12 @@ class CheckpointedSketchBuild:
                 for f in os.listdir(out)
                 if f.endswith(".parquet")
             )
+            # lineage row count comes from the persisted partial states
+            # (count = values sketched, i.e. non-null rows), NOT a second
+            # df.count() scan of the input — at corpus scale that doubled
+            # the I/O of the whole build. The partial parquet is a few
+            # rows, so this read is footer-sized.
+            n_rows = self._partial_row_count(out)
             lineage_row = {
                 "split": sid,
                 "input": path,
@@ -100,6 +105,23 @@ class CheckpointedSketchBuild:
             os.rename(ltmp, os.path.join(self.dir, "lineage", f"{sid}.json"))
             processed += 1
         return processed
+
+    def _partial_row_count(self, partial_dir: str) -> float | None:
+        """Values aggregated into this partial, summed from the state rows'
+        ``count`` field (present on every spec that tracks cardinality —
+        DDSketch/KLL/t-digest); None when the spec's state carries no
+        count (the metric is then simply absent from lineage)."""
+        from pyspark.sql import functions as F
+
+        state_names = {f.name for f in self.spec.state_fields()}
+        if "count" not in state_names:
+            return None
+        row = (
+            self.spark.read.parquet(partial_dir)
+            .agg(F.sum("count").alias("n"))
+            .collect()[0]
+        )
+        return float(row["n"]) if row["n"] is not None else 0.0
 
     def is_complete(self, input_paths: list[str]) -> bool:
         done = self.completed_splits()

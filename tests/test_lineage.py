@@ -76,3 +76,26 @@ def test_lineage_rows_have_metrics(spark, tmp_path, splits):
     assert rows[0]["sketch_bytes"] > 0
     assert rows[0]["wall_sec"] > 0
     assert "finished_at" in rows[0]
+
+
+def test_no_second_input_scan_for_lineage_rows(spark, tmp_path, splits, monkeypatch):
+    """The lineage row count must come from the persisted partial states,
+    never from a second df.count() scan of the input (which doubles build
+    I/O at corpus scale). Proven by making DataFrame.count explode: run()
+    must succeed without ever calling it."""
+    import pyspark.sql
+
+    def boom(self):
+        raise AssertionError("DataFrame.count() called during lineage build")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "count", boom)
+    spec = DDSketchSpec(0.01, include_stats=True, quantiles={"q50": 0.5})
+    b = CheckpointedSketchBuild(
+        spark, spec, str(tmp_path / "ck"), "value", ["event_type"]
+    )
+    assert b.run(splits[:1]) == 1
+    row = [
+        json.load(open(p))
+        for p in glob.glob(str(tmp_path / "ck" / "lineage" / "*.json"))
+    ][0]
+    assert row["rows"] > 0
