@@ -455,55 +455,44 @@ FROM fin
 
 
 def _q_cms_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min frequency estimates for the 20 most-ordered parts —
-    estimates must be >= true counts (one-sided), checked in pytest."""
-    from ddsketch_ruby_spark.operators.agg import sketch_agg
+    """Count-min frequency estimates for the 20 most-ordered parts, probed
+    DISTRIBUTED: the state (built by a distributed aggregation, collected
+    once — it is the tiny index, ~320 kB) broadcasts via the probe
+    operator's closure and each batch is estimated in one vectorized call.
+    Estimates must be >= true counts (one-sided), checked in pytest."""
+    from ddsketch_ruby_spark.operators.frequency import cms_build, cms_probe_column
     from ddsketch_ruby_spark.sketches.cms import CMSSpec
 
     (li,) = _tables(spark, sf_dir, "lineitem")
     spec = CMSSpec(width=8192, depth=5)
-    hashed = li.select(F.xxhash64("l_partkey").alias("h"))
-    state_rows = sketch_agg(hashed, spec, "h", [], output="state").collect()
-    state = spec.row_to_state(state_rows[0].asDict())
+    state = cms_build(li, "l_partkey", spec)
     top = (
         li.groupBy("l_partkey")
         .count()
         .orderBy(F.desc("count"), "l_partkey")
         .limit(20)
-        .collect()
+        .select("l_partkey")
     )
-    keys = [r["l_partkey"] for r in top]
-    key_hashes = [
-        r["h"]
-        for r in spark.createDataFrame([(k,) for k in keys], "l_partkey long")
-        .select(F.xxhash64("l_partkey").alias("h"))
-        .collect()
-    ]
-    est = spec.estimate(state, key_hashes)
-    return spark.createDataFrame(
-        [(int(k), float(e)) for k, e in zip(keys, est)],
-        "l_partkey long, est_count double",
+    return cms_probe_column(top, "l_partkey", spec, state).select(
+        "l_partkey", "est_count"
     )
 
 
 def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom filter over orders' customers, probed with all customers —
-    no false negatives by construction (verified in pytest)."""
-    from ddsketch_ruby_spark.operators.agg import sketch_agg
+    """Bloom filter over orders' customers, probing ALL customers with the
+    distributed closure-broadcast operator (no driver-side loop, no join,
+    no shuffle) — no false negatives by construction (verified in pytest)."""
+    from ddsketch_ruby_spark.operators.frequency import (
+        bloom_build,
+        bloom_filter_column,
+    )
     from ddsketch_ruby_spark.sketches.bloom import BloomSpec
 
     orders, customer = _tables(spark, sf_dir, "orders", "customer")
     spec = BloomSpec(expected_items=200_000, fpp=0.01)
-    hashed = orders.select(F.xxhash64("o_custkey").alias("h"))
-    state_rows = sketch_agg(hashed, spec, "h", [], output="state").collect()
-    state = spec.row_to_state(state_rows[0].asDict())
-    cust = customer.select(
-        "c_custkey", F.xxhash64("c_custkey").alias("h")
-    ).collect()
-    member = spec.contains(state, [r["h"] for r in cust])
-    return spark.createDataFrame(
-        [(r["c_custkey"], bool(m)) for r, m in zip(cust, member)],
-        "c_custkey long, maybe_member boolean",
+    state = bloom_build(orders, "o_custkey", spec)
+    return bloom_filter_column(
+        customer.select("c_custkey"), "c_custkey", spec, state
     )
 
 

@@ -17,7 +17,11 @@ output="state") can be queried from plain SQL:
 The UDFs are Arrow-batched (one Python call per batch of groups), so
 finalizing a million persisted group sketches is itself vectorized.
 The probe UDFs (cms_est / bloom_maybe) are shuffle-free: the tiny state
-row broadcasts with the join/literal and each probe is O(depth) / O(k).
+row broadcasts with the join/literal. When every row of a batch carries
+the same state payload (the broadcast-join shape), the state is
+deserialized ONCE and the whole batch probed in one vectorized call —
+O(depth)/O(k) per row; with heterogeneous states per row the probe
+degrades to O(state_size) per row (one memcmp + per-row estimate).
 """
 
 from __future__ import annotations
@@ -96,15 +100,35 @@ def register_sketch_sql(
             dtype="float64",
         )
 
+    def _constant_state(payloads: pd.Series) -> bool:
+        """True when every row carries the same state array (the
+        broadcast-join shape): object identity first, then a vectorized
+        memcmp against row 0 — no copies, no reshapes."""
+        first_obj = payloads.iloc[0]
+        first = np.asarray(first_obj)
+        for i in range(1, len(payloads)):
+            p = payloads.iloc[i]
+            if p is first_obj:
+                continue
+            if not np.array_equal(np.asarray(p), first):
+                return False
+        return True
+
     @pandas_udf(T.DoubleType())
     def cms_est(counts: pd.Series, hashed: pd.Series) -> pd.Series:
         from ..sketches.cms import CMSSpec
 
         spec = CMSSpec(width=cms_width, depth=cms_depth)
+        if len(counts) == 0:
+            return pd.Series([], dtype="float64")
+        h = hashed.to_numpy()
+        if _constant_state(counts):
+            state = spec.row_to_state({"counts": counts.iloc[0]})
+            return pd.Series(spec.estimate(state, h), dtype="float64")
         out = []
         for i in range(len(counts)):
             state = spec.row_to_state({"counts": counts.iloc[i]})
-            out.append(float(spec.estimate(state, [int(hashed.iloc[i])])[0]))
+            out.append(float(spec.estimate(state, [int(h[i])])[0]))
         return pd.Series(out, dtype="float64")
 
     @pandas_udf(T.BooleanType())
@@ -114,10 +138,16 @@ def register_sketch_sql(
         spec = BloomSpec(
             expected_items=bloom_expected_items, fpp=bloom_fpp
         )
+        if len(bits) == 0:
+            return pd.Series([], dtype="bool")
+        h = hashed.to_numpy()
+        if _constant_state(bits):
+            state = spec.row_to_state({"bits": bits.iloc[0]})
+            return pd.Series(spec.contains(state, h), dtype="bool")
         out = []
         for i in range(len(bits)):
             state = spec.row_to_state({"bits": bits.iloc[i]})
-            out.append(bool(spec.contains(state, [int(hashed.iloc[i])])[0]))
+            out.append(bool(spec.contains(state, [int(h[i])])[0]))
         return pd.Series(out, dtype="bool")
 
     spark.udf.register("ddsketch_q", ddsketch_q)

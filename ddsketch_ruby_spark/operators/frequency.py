@@ -22,6 +22,7 @@ from .agg import sketch_agg
 __all__ = [
     "cms_build",
     "cms_estimate",
+    "cms_probe_column",
     "bloom_build",
     "bloom_filter_column",
     "hash_items",
@@ -56,6 +57,35 @@ def cms_estimate(
     hashes = hash_items(spark, items, dtype)
     est = spec.estimate(state, hashes)
     return dict(zip(list(items), [float(e) for e in est]))
+
+
+def cms_probe_column(
+    df: DataFrame, col: str, spec: CMSSpec, state: np.ndarray
+) -> DataFrame:
+    """Adds double ``est_count`` by probing the count-min state inside a
+    pandas iterator — the state broadcasts once per executor via the
+    closure, each batch is estimated in ONE vectorized call (O(depth) per
+    row); no join, no shuffle. The distributed-scale twin of
+    ``cms_estimate`` (which collects literal items on the driver)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    counts = state.copy()
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("est_count", T.DoubleType())]
+    )
+    hashed = df.withColumn("__h", F.xxhash64(col))
+
+    def probe(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            h = pdf["__h"].to_numpy()
+            out = pdf.drop(columns=["__h"])
+            out["est_count"] = spec.estimate(counts, h)
+            yield out
+
+    return hashed.mapInPandas(probe, schema=schema)
 
 
 def bloom_build(df: DataFrame, col: str, spec: BloomSpec) -> np.ndarray:

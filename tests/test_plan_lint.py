@@ -15,9 +15,9 @@ import pytest
 
 import __spark_entry__ as entry
 
-# queries whose FINAL plan is a driver-side createDataFrame (they collect
-# internally); their interesting plans are exercised by other tests
-_DRIVER_SIDE = {"cms_heavy_parts", "bloom_membership"}
+# no exclusions: every query's FINAL plan is a distributed plan (the
+# cms/bloom probes broadcast their state via a mapInPandas closure)
+_DRIVER_SIDE: set[str] = set()
 
 # deliberate bounded O(n^2) verifiers (inequality-join -> BNLJ)
 _ALLOW_NESTED_LOOP = {"cosine_allpairs_dup", "cosine_near_dup_pairs"}
