@@ -312,6 +312,80 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, "embedding", "vec_id", query, k=10)
 
 
+def _q_ivf_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN under the hard gate via EXHAUSTIVE probing: with
+    nprobe == n_cells every cell is probed, so k-means++ training, JVM-side
+    cell assignment and the probe plumbing must reproduce the exact
+    brute-force top-k bit-for-bit (same oracle as cosine_topk_embeddings).
+    Recall of the pruned nprobe < n_cells path is tested in pytest."""
+    from ddsketch_ruby_spark.operators.similarity import ivf_topk
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return ivf_topk(
+        emb, "embedding", "vec_id", query, k=10, n_cells=8, nprobe=8
+    )
+
+
+def _q_ddsketch_collapsed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile EXTRACTION over a collapsed store (key_at_rank across
+    clamped bins, T8-T11 + S5 composed): bin_limit=20 over events.value —
+    low quantiles land inside the collapse bin, so the rank scan must walk
+    the clamped histogram exactly as the oracle's windowed cumulative SQL."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_quantiles
+
+    (events,) = _tables(spark, sf_dir, "events")
+    wide = ddsketch_quantiles(
+        events.filter(F.col("value") > 0),
+        "value",
+        quantiles={"q10": 0.1, "q50": 0.5, "q99": 0.99},
+        store_type="collapsing_lowest",
+        bin_limit=20,
+        include_stats=False,
+        value_formula="pow",
+    )
+    return wide.select(
+        F.expr(
+            "stack(3, 'q10', round(q10, 6), 'q50', round(q50, 6), "
+            "'q99', round(q99, 6)) as (qname, qvalue)"
+        )
+    )
+
+
+def _collapsed_quantiles_oracle_sql() -> str:
+    """Quantile pipeline over the CLAMPED histogram (collapsing-lowest,
+    bin_limit=20): GREATEST(k, max_k-19) before the cumulative scan."""
+    qs = {"q10": 0.1, "q50": 0.5, "q99": 0.99}
+    qvalues = ", ".join(f"('{name}', {q!r})" for name, q in qs.items())
+    return f"""
+WITH vals AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value > 0
+),
+ks AS (
+  SELECT CAST(CEIL(LN(v) / LN(2.0) * {_dlit(MULT)}) AS BIGINT) AS k FROM vals
+),
+mx AS (SELECT MAX(k) AS maxk FROM ks),
+hist AS (
+  SELECT GREATEST(k, maxk - 19) AS k, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM ks CROSS JOIN mx GROUP BY 1
+),
+cum AS (SELECT k, SUM(c) OVER (ORDER BY k) AS rc FROM hist),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM vals),
+qs(qname, q) AS (VALUES {qvalues}),
+sel AS (
+  SELECT qname, MIN(cum.k) AS kq
+  FROM qs CROSS JOIN cum CROSS JOIN n
+  WHERE cum.rc > qs.q * (n.cnt - 1)
+  GROUP BY qname
+)
+SELECT qname, ROUND(POWER({_dlit(GAMMA)}, kq) * {_dlit(COEFF)}, 6) AS qvalue
+FROM sel
+"""
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddsketch_ruby_spark.operators.dedup import minhash_lsh_pairs
 
@@ -959,6 +1033,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_bins_events": _q_ddsketch_bins,
     "ddsketch_collapsed_bins": _q_ddsketch_collapsed_bins,
     "ddsketch_collapsed_high_bins": _q_ddsketch_collapsed_high_bins,
+    "ddsketch_collapsed_quantiles": _q_ddsketch_collapsed_quantiles,
+    "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
     "proto_roundtrip_bins": _q_proto_roundtrip_bins,
     "ddsketch_offset_events": _q_ddsketch_offset,
     "ddsketch_daily_value": _q_ddsketch_daily,
@@ -1644,6 +1720,8 @@ FROM events WHERE value > 0 GROUP BY bucket_key
 """,
         "ddsketch_collapsed_bins": _collapsed_bins_oracle_sql("lowest"),
         "ddsketch_collapsed_high_bins": _collapsed_bins_oracle_sql("highest"),
+        "ddsketch_collapsed_quantiles": _collapsed_quantiles_oracle_sql(),
+        "ivf_exhaustive_topk": _cosine_oracle(),
         "proto_roundtrip_bins": _proto_roundtrip_oracle_sql(),
         "ddsketch_offset_events": _ddsketch_oracle_sql(
             "value", "events", [], _QS, offset=-12.23

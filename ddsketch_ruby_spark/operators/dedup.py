@@ -252,6 +252,7 @@ def minhash_lsh_pairs(
     min_jaccard: float = 0.0,
     variant: str = "oph",
     max_bucket_size: int | None = 1000,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
@@ -266,10 +267,24 @@ def minhash_lsh_pairs(
     quadratically (cap^2 per bucket is the worst-case join size). Capped
     buckets are near-certain duplicates of each other anyway — at corpus
     scale route them to exact_dedup on a boilerplate fingerprint instead.
+
+    The signature matrix is referenced several times (bucket sizes + both
+    self-join sides), so it is ``localCheckpoint``-ed lazily: CPU-heavy
+    shingling runs ONCE (~num_hashes*8 B/doc of executor storage,
+    disk-spillable) and every re-reference replays only cheap JVM band
+    hashing. At full corpus scale, persist signatures to parquet instead
+    (the standard production artifact) and pass them via ``signatures``
+    (columns: id_col, sig array<long>) — then no checkpoint is taken and
+    reruns/incremental dedup reuse the stored matrix.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle, seed, variant)
+    if signatures is not None:
+        sigs = signatures
+    else:
+        sigs = minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle, seed, variant
+        ).localCheckpoint(eager=False)
     sig_col = F.col("sig")
     band_cols = [
         F.xxhash64(
@@ -287,18 +302,20 @@ def minhash_lsh_pairs(
     )
     if max_bucket_size is not None:
         # Aggregate bucket sizes (map-side combine: the shuffle carries one
-        # row per distinct bucket) and join the small sizes back, instead of
-        # a Window.partitionBy("bucket") count — a window would funnel the
-        # hottest bucket's rows into ONE task before dropping them, which is
-        # exactly the skew this cap exists to prevent. The join keys both
-        # sides on `bucket`, the same partitioning the self-join below needs.
-        keep = (
+        # row per distinct bucket) and broadcast-ANTI-join the few buckets
+        # OVER the cap, instead of a Window.partitionBy("bucket") count —
+        # a window would funnel the hottest bucket's rows into ONE task
+        # before dropping them, exactly the skew this cap exists to
+        # prevent. Hot buckets are rare by construction (that is what makes
+        # them droppable), so the anti side broadcasts and the exploded
+        # rows never shuffle for the cap at all.
+        hot_buckets = (
             exploded.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") <= max_bucket_size)
+            .filter(F.col("__bn") > max_bucket_size)
             .select("bucket")
         )
-        exploded = exploded.join(keep, "bucket")
+        exploded = exploded.join(F.broadcast(hot_buckets), "bucket", "left_anti")
     left = exploded.alias("l")
     right = exploded.alias("r")
     # estimate jaccard BEFORE deduping candidate pairs: the zip_with is
@@ -519,13 +536,14 @@ def ngram_jaccard_exact(
         else shingle_hash_rows(df, text_col, id_col, shingle)
     )
     if max_doc_freq is not None:
+        # stop-shingles are rare by construction -> broadcast the anti side
         hot = (
             rows.groupBy("h")
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") > max_doc_freq)
             .select("h")
         )
-        rows = rows.join(hot, "h", "left_anti")
+        rows = rows.join(F.broadcast(hot), "h", "left_anti")
     sizes = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     a, b = rows.alias("a"), rows.alias("b")
     common = (
