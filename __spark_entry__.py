@@ -77,8 +77,6 @@ def _ddsketch_oracle_sql(
     from ddsketch_ruby_spark.kernel.mapping import mapping_from_name
 
     m = mapping_from_name(mapping, ALPHA, offset)
-    if offset and mapping != "logarithmic":
-        raise NotImplementedError("offset oracle implemented for logarithmic")
     mult = m._multiplier
     coeff = 2.0 / (1.0 + m.gamma)
     g = ", ".join(group_cols)
@@ -120,6 +118,15 @@ hist AS (
                 f"((({_dlit(A)} * s + {_dlit(B)}) * s + {_dlit(C)}) * s"
                 " + CAST(e AS DOUBLE))"
             )
+        if offset:
+            key_expr = (
+                f"CAST(TRUNC(CEIL({poly} * {_dlit(mult)})"
+                f" + {_dlit(offset)}) AS BIGINT)"
+            )
+            u_expr = f"(CAST(kq AS DOUBLE) - {_dlit(offset)}) / {_dlit(mult)}"
+        else:
+            key_expr = f"CAST(CEIL({poly} * {_dlit(mult)}) AS BIGINT)"
+            u_expr = f"CAST(kq AS DOUBLE) / {_dlit(mult)}"
         hist = f"""
 fx0 AS (SELECT {g_comma}v, CAST(FLOOR(LOG2(v)) AS BIGINT) AS eg FROM vals),
 fx1 AS (SELECT {g_comma}v,
@@ -128,13 +135,13 @@ fx1 AS (SELECT {g_comma}v,
                     ELSE eg END AS e FROM fx0),
 fx2 AS (SELECT {g_comma}e, v / POWER(2.0, e) - 1.0 AS s FROM fx1),
 hist AS (
-  SELECT {g_comma}CAST(CEIL({poly} * {_dlit(mult)}) AS BIGINT) AS k,
+  SELECT {g_comma}{key_expr} AS k,
          CAST(COUNT(*) AS DOUBLE) AS c
   FROM fx2 GROUP BY {g_comma}k
 ),"""
         if mapping == "linear":
             final = f""", u AS (
-  SELECT {g_comma}qname, CAST(kq AS DOUBLE) / {_dlit(mult)} AS u FROM keys
+  SELECT {g_comma}qname, {u_expr} AS u FROM keys
 ),
 iv AS (SELECT {g_comma}qname, u, FLOOR(u) + 1.0 AS ee FROM u)
 SELECT {g_comma}qname,
@@ -149,7 +156,7 @@ FROM iv"""
             c3 = 4.0 * d0**3
             c4 = 3.0 * A
             final = f""", u AS (
-  SELECT {g_comma}qname, CAST(kq AS DOUBLE) / {_dlit(mult)} AS u FROM keys
+  SELECT {g_comma}qname, {u_expr} AS u FROM keys
 ),
 ex AS (SELECT {g_comma}qname, FLOOR(u) AS ee, u - FLOOR(u) AS frac FROM u),
 d1 AS (SELECT {g_comma}qname, ee,
@@ -806,6 +813,31 @@ def _q_ddsketch_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ddsketch_linear_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear mapping with FRACTIONAL offset 7768.3 (the other reference
+    sweep value) — exact-frexp keys + trunc-toward-zero offset + the
+    linear exp2 inverse shifted by the offset, all on the JVM path."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_quantiles_long
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return ddsketch_quantiles_long(
+        events.filter(F.col("value") > 0), "value", quantiles=_QS,
+        mapping="linear", mapping_offset=7768.3,
+    )
+
+
+def _q_ddsketch_cubic_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cubic mapping with FRACTIONAL offset -12.23: Cardano inverse fed by
+    (key - offset)/multiplier, bit-matched against the DuckDB replay."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_quantiles_long
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return ddsketch_quantiles_long(
+        events.filter(F.col("value") > 0), "value", quantiles=_QS,
+        mapping="cubic", mapping_offset=-12.23,
+    )
+
+
 def _q_ddsketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed sketches: per-day latency quantiles over the events
     stream table (the hypertable-rollup shape)."""
@@ -1037,6 +1069,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
     "proto_roundtrip_bins": _q_proto_roundtrip_bins,
     "ddsketch_offset_events": _q_ddsketch_offset,
+    "ddsketch_linear_offset_events": _q_ddsketch_linear_offset,
+    "ddsketch_cubic_offset_events": _q_ddsketch_cubic_offset,
     "ddsketch_daily_value": _q_ddsketch_daily,
     "ddsketch_price_by_brand": _q_ddsketch_price_by_brand,
     "props_k_stats": _q_props_k_stats,
@@ -1725,6 +1759,12 @@ FROM events WHERE value > 0 GROUP BY bucket_key
         "proto_roundtrip_bins": _proto_roundtrip_oracle_sql(),
         "ddsketch_offset_events": _ddsketch_oracle_sql(
             "value", "events", [], _QS, offset=-12.23
+        ),
+        "ddsketch_linear_offset_events": _ddsketch_oracle_sql(
+            "value", "events", [], _QS, mapping="linear", offset=7768.3
+        ),
+        "ddsketch_cubic_offset_events": _ddsketch_oracle_sql(
+            "value", "events", [], _QS, mapping="cubic", offset=-12.23
         ),
         "ddsketch_daily_value": _ddsketch_oracle_sql(
             "value", "(SELECT CAST(ts AS DATE) AS day, value FROM events) AS t",
