@@ -393,6 +393,46 @@ FROM sel
 """
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster collapse under the hard gate: edges are the
+    deterministic exact n-gram Jaccard pairs (their own oracle is green),
+    collapsed by distributed min-label propagation (operators/dedup.py
+    dedup_clusters, per-round localCheckpoint). Oracle: transitive closure
+    via a recursive CTE over the same edge SQL — cluster_id must equal the
+    min id reachable in the pair graph, exactly."""
+    from ddsketch_ruby_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_exact,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_exact(
+        docs, "text", "doc_id", min_jaccard=0.5, max_doc_freq=100
+    )
+    return dedup_clusters(pairs).select("id", "cluster_id")
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    """Min-reachable-id per node via recursive label propagation over the
+    (undirected) exact-Jaccard edge set — the fixpoint the Spark
+    min-label-propagation rounds must converge to."""
+    edges = ORACLES["ngram_jaccard_exact"]
+    return f"""
+WITH RECURSIVE pairs AS ({edges}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(id, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.id = e.b
+)
+SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddsketch_ruby_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1104,6 +1144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _tables(spark, sf_dir, "embeddings")[0], "embedding", "vec_id",
         min_cosine=0.3, n_planes=6, dim=64,
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine")),
+    "dedup_clusters_documents": _q_dedup_clusters,
     "ngram_jaccard_exact": lambda spark, sf_dir: __import__(
         "ddsketch_ruby_spark.operators.dedup", fromlist=["ngram_jaccard_exact"]
     ).ngram_jaccard_exact(
@@ -1573,6 +1614,198 @@ SELECT doc_id, CAST(bin AS INT) AS pos, v AS sig FROM borrowed
 """
 
 
+def _xxh64_long_seeded(
+    prefix: str, src_cte: str, x_col: str, seed_col: str
+) -> tuple[str, str, str]:
+    """CTE chain computing Spark's XXH64.hashLong(x, seed) where the SEED
+    is itself a per-row expression — the building block for multi-argument
+    ``xxhash64(a, b, c, ...)``, which chains each fully-finalized hash as
+    the next call's seed. Returns (fragment, final_cte, hash_col);
+    ``x_col`` is a signed BIGINT expression, ``seed_col`` a UBIGINT one."""
+    s = lambda i: f"{prefix}_s{i}"  # noqa: E731
+    to_u = (
+        f"CAST(CASE WHEN {x_col} >= 0 THEN CAST({x_col} AS HUGEINT) "
+        f"ELSE CAST({x_col} AS HUGEINT) + 18446744073709551616 END AS UBIGINT)"
+    )
+    acc0 = _u64add(_u64add(seed_col, _XXP5), 8)
+    steps = [
+        to_u,
+        _u64mul(_u64rotl(_u64mul(s(0), _XXP2), 31), _XXP1),
+        f"xor({acc0}, {s(1)})",
+        _u64add(_u64mul(_u64rotl(s(2), 27), _XXP1), _XXP4),
+        _u64mul(f"xor({s(3)}, {s(3)} >> 33)", _XXP2),
+        _u64mul(f"xor({s(4)}, {s(4)} >> 29)", _XXP3),
+    ]
+    frag = ""
+    prev = src_cte
+    for i, expr in enumerate(steps):
+        cte = f"{prefix}{i}"
+        frag += f",\n{cte} AS (SELECT *, {expr} AS {s(i)} FROM {prev})"
+        prev = cte
+    hcol = f"{prefix}_h"
+    frag += (
+        f",\n{prefix}F AS (SELECT * EXCLUDE ({', '.join(s(i) for i in range(6))}),"
+        f" xor({s(5)}, {s(5)} >> 32) AS {hcol} FROM {prev})"
+    )
+    return frag, f"{prefix}F", hcol
+
+
+def _lsh_candidates_sql(
+    H: int = 64, bands: int = 16, max_bucket: int = 1000
+) -> str:
+    """CTE fragment (appended after a ``sigm(doc_id, pos, sig)`` CTE)
+    producing ``cand(id_a, id_b)`` — the banded-LSH candidate pairs of
+    operators/dedup.py minhash_lsh_pairs, replayed exactly: per-band
+    bucket = Spark xxhash64(band::long, sig[4b], .., sig[4b+3]) (seed-42
+    chain of fully-finalized hashLong steps), buckets over ``max_bucket``
+    rows dropped, same-bucket id_a < id_b pairs deduped."""
+    rpb = H // bands
+    slots = ", ".join(
+        f"MAX(CASE WHEN pos % {rpb} = {r} THEN sig END) AS v{r}"
+        for r in range(rpb)
+    )
+    frag = f""",
+bandv AS (
+  SELECT doc_id, pos // {rpb} AS band, {slots}
+  FROM sigm GROUP BY doc_id, band
+)"""
+    prev = "bandv"
+    seed = "CAST(42 AS UBIGINT)"
+    for j, xc in enumerate(["CAST(band AS BIGINT)"] + [f"v{r}" for r in range(rpb)]):
+        f_, prev, h = _xxh64_long_seeded(f"bh{j}", prev, xc, seed)
+        frag += f_
+        seed = h
+    frag += f""",
+bkt AS (SELECT doc_id, {h} AS bck FROM {prev}),
+bsz AS (SELECT bck, COUNT(*) AS n FROM bkt GROUP BY bck),
+kept AS (
+  SELECT bkt.doc_id, bkt.bck FROM bkt JOIN bsz USING (bck)
+  WHERE bsz.n <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b ON a.bck = b.bck AND a.doc_id < b.doc_id
+)"""
+    return frag
+
+
+def _minhash_pairs_oracle_sql(
+    H: int = 64,
+    bands: int = 16,
+    shingle: int = 5,
+    seed: int = 42,
+    min_est: float = 0.5,
+) -> str:
+    """Full-hash oracle for minhash_lsh_pairs: OPH signature matrix (SQL)
+    -> Spark-exact band hashing -> bucket cap -> candidate pairs ->
+    estimated Jaccard = equal-position fraction (k/H is dyadic, so the
+    division is exact in both engines — no rounding needed)."""
+    sig_sql = _minhash_oph_oracle_sql(H, shingle, seed)
+    return f"""
+WITH sigm AS ({sig_sql}){_lsh_candidates_sql(H, bands)},
+est AS (
+  SELECT c.id_a, c.id_b,
+         SUM(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END)
+           / {float(H)!r} AS est_jaccard
+  FROM cand c
+  JOIN sigm sa ON sa.doc_id = c.id_a
+  JOIN sigm sb ON sb.doc_id = c.id_b AND sb.pos = sa.pos
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, est_jaccard FROM est
+WHERE est_jaccard >= {_dlit(min_est)}
+"""
+
+
+def _ngram_lsh_pairs_oracle_sql(
+    H: int = 64,
+    bands: int = 16,
+    shingle: int = 5,
+    seed: int = 42,
+    min_jaccard: float = 0.5,
+) -> str:
+    """Full-hash oracle for ngram_jaccard_pairs: LSH candidates (est >=
+    min_jaccard - 0.2, replayed exactly as in _minhash_pairs_oracle_sql)
+    then EXACT Jaccard on the full distinct-shingle sets of each candidate
+    pair — both divisions of exact integers, bit-identical to the Python
+    verify step."""
+    min_est = max(0.0, min_jaccard - 0.2)
+    sig_sql = _minhash_oph_oracle_sql(H, shingle, seed)
+    shingle_frag, hs = _shingle_cte_chain("vg", "vsrc", width=shingle)
+    return f"""
+WITH sigm AS ({sig_sql}){_lsh_candidates_sql(H, bands)},
+est AS (
+  SELECT c.id_a, c.id_b,
+         SUM(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END)
+           / {float(H)!r} AS est
+  FROM cand c
+  JOIN sigm sa ON sa.doc_id = c.id_a
+  JOIN sigm sb ON sb.doc_id = c.id_b AND sb.pos = sa.pos
+  GROUP BY c.id_a, c.id_b
+),
+cands AS (SELECT id_a, id_b FROM est WHERE est >= {_dlit(min_est)}),
+vsrc AS (SELECT doc_id, text AS t FROM documents){shingle_frag},
+rows_h AS (SELECT doc_id, unnest({hs}) AS h FROM vg3),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM rows_h GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS cn
+  FROM cands c
+  JOIN rows_h a ON a.doc_id = c.id_a
+  JOIN rows_h b ON b.doc_id = c.id_b AND b.h = a.h
+  GROUP BY c.id_a, c.id_b
+)
+SELECT cm.id_a, cm.id_b,
+       cm.cn / CAST(na.n + nb.n - cm.cn AS DOUBLE) AS jaccard
+FROM common cm
+JOIN sizes na ON na.doc_id = cm.id_a
+JOIN sizes nb ON nb.doc_id = cm.id_b
+WHERE cm.cn / CAST(na.n + nb.n - cm.cn AS DOUBLE) >= {_dlit(min_jaccard)}
+"""
+
+
+def _cosine_lsh_pairs_oracle_sql(
+    dim: int = 64, n_planes: int = 6, seed: int = 42, min_cosine: float = 0.3
+) -> str:
+    """Full-hash oracle for cosine_near_dup_pairs: the hyperplane-LSH sign
+    bucket replayed with the EXACT plane constants (operators/similarity.py
+    _hyperplanes, inlined via _dlit) and the same left-to-right fold order
+    as Spark's F.aggregate, then the exact cosine rerank for same-bucket
+    pairs, rounded to 6 on both sides."""
+    import numpy as np
+
+    from ddsketch_ruby_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    fold = lambda terms: "(0.0 + " + " + ".join(terms) + ")"  # noqa: E731
+
+    def dot(e: str, plane: np.ndarray) -> str:
+        return fold(
+            [f"{e}[{k + 1}] * {_dlit(float(plane[k]))}" for k in range(dim)]
+        )
+
+    bucket_terms = " + ".join(
+        f"CASE WHEN {dot('e', planes[i])} > 0.0 THEN {1 << i} ELSE 0 END"
+        for i in range(n_planes)
+    )
+    pair_dot = fold([f"a.e[{k + 1}] * b.e[{k + 1}]" for k in range(dim)])
+    norm = lambda side: (  # noqa: E731
+        "SQRT" + fold([f"{side}.e[{k + 1}] * {side}.e[{k + 1}]" for k in range(dim)])
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+bkt AS (SELECT vec_id, e, {bucket_terms} AS bck FROM v),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         {pair_dot} / ({norm("a")} * {norm("b")}) AS cosine
+  FROM bkt a JOIN bkt b ON a.bck = b.bck AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+FROM pairs WHERE cosine >= {_dlit(min_cosine)}
+"""
+
+
 def _hll_oracle_sql() -> str:
     """HLL estimate per event_type, reproduced entirely in SQL: xxhash64 →
     register index / rank-of-first-one (exact bit_length via floor(log2)
@@ -1850,6 +2083,15 @@ FROM documents GROUP BY lang
         "doc_fingerprints": _doc_fingerprint_oracle_sql(),
         "simhash_documents": _simhash_oracle_sql(),
         "minhash_sig_matrix": _minhash_oph_oracle_sql(),
+        "minhash_near_dup_pairs": _minhash_pairs_oracle_sql(
+            H=64, bands=16, min_est=0.5
+        ),
+        "ngram_jaccard_pairs": _ngram_lsh_pairs_oracle_sql(
+            H=64, bands=16, min_jaccard=0.5
+        ),
+        "cosine_near_dup_pairs": _cosine_lsh_pairs_oracle_sql(
+            dim=64, n_planes=6, min_cosine=0.3
+        ),
         "ngram_jaccard_exact": f"""
 WITH src AS (SELECT doc_id, text AS t FROM documents){_shingle_cte_chain("jg", "src", width=5)[0]},
 all_h AS (SELECT doc_id, unnest(jg_hs) AS h FROM jg3),
@@ -1891,6 +2133,11 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """,
     }
 )
+
+
+# registered after the main update: its oracle embeds the (already
+# registered) ngram_jaccard_exact SQL as the edge source
+ORACLES["dedup_clusters_documents"] = _dedup_clusters_oracle_sql()
 
 
 def entry(spark: SparkSession) -> DataFrame:

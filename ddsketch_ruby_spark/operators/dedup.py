@@ -286,9 +286,13 @@ def minhash_lsh_pairs(
             df, text_col, id_col, num_hashes, shingle, seed, variant
         ).localCheckpoint(eager=False)
     sig_col = F.col("sig")
+    # the band index is hashed as a LONG so the bucket value is a pure
+    # chain of xxhash64-long steps (seed 42 -> band -> sig values), which a
+    # SQL oracle replays exactly (__spark_entry__ LSH-bucket oracle)
     band_cols = [
         F.xxhash64(
-            F.lit(b), *[sig_col[b * rows_per_band + r] for r in range(rows_per_band)]
+            F.lit(b).cast("long"),
+            *[sig_col[b * rows_per_band + r] for r in range(rows_per_band)],
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
