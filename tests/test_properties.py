@@ -182,3 +182,51 @@ def test_jvm_key_expr_matches_kernel_property(spark, vals, mapping, offset):
     }
     kern = {float(v): int(k) for v, k in zip(arr, m.key_batch(arr))}
     assert got == kern
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    H=st.sampled_from([8, 64, 100]),
+)
+def test_batched_oph_equals_per_doc_reference(texts, H):
+    """The Arrow-batch-vectorized OPH kernel (flat rolling hash over
+    concatenated bytes, doc-offset bins) must be value-identical to a
+    naive per-document implementation for arbitrary texts — including
+    empty, shorter-than-shingle, and non-ASCII ones — and for power-of-two
+    and non-power-of-two bin counts."""
+    import pandas as pd
+
+    from ddsketch_ruby_spark.operators.dedup import _oph_batch, _shingle_hashes
+
+    W, seed = 5, 42
+
+    def per_doc(t):
+        sh = _shingle_hashes(t or "", W, unique=False)
+        mix = np.uint64(seed * 2 + 1)
+        with np.errstate(over="ignore"):
+            h = sh * mix
+        bins = (h % np.uint64(H)).astype(np.int64)
+        vals = (h >> np.uint64(1)).astype(np.int64)
+        sig = np.full(H, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(sig, bins, vals)
+        empty = sig == np.iinfo(np.int64).max
+        if empty.any():
+            fi = np.flatnonzero(~empty)
+            if len(fi) == 0:
+                sig[:] = 0
+            else:
+                pos = np.searchsorted(fi, np.flatnonzero(empty)) % len(fi)
+                sig[empty] = sig[fi[pos]]
+        return sig
+
+    got = _oph_batch(pd.Series(texts), H, W, seed)
+    for g, t in zip(got, texts):
+        assert np.array_equal(g, per_doc(t)), t
