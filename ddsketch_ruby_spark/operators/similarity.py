@@ -70,15 +70,22 @@ def cosine_topk(
     round_to: int = 6,
 ) -> DataFrame:
     """Exact brute-force top-k by cosine similarity; deterministic
-    tie-break on id. Returns (id, sim, rank)."""
+    tie-break on id. Returns (id, sim, rank).
+
+    The selection is orderBy().limit(k) — Spark plans it as
+    TakeOrderedAndProject: each partition keeps its own k best and only
+    those k-per-partition rows reach the driver-side merge, so no global
+    shuffle ever happens. (A bare row_number() window with no partitionBy
+    would move EVERY row into one task — the single-partition WindowExec
+    trap.) The rank window then runs over just the k survivors."""
     sim = F.round(_cosine_col(vec_col, query), round_to).alias("sim")
-    scored = df.select(F.col(id_col), sim)
-    w = F.row_number().over(Window.orderBy(F.desc("sim"), F.col(id_col)))
-    return (
-        scored.withColumn("rank", w)
-        .filter(F.col("rank") <= k)
-        .select(id_col, "sim", "rank")
+    top = (
+        df.select(F.col(id_col), sim)
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
     )
+    w = F.row_number().over(Window.orderBy(F.desc("sim"), F.col(id_col)))
+    return top.withColumn("rank", w).select(id_col, "sim", "rank")
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
