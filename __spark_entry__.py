@@ -258,6 +258,17 @@ def _q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, key_cols=["text"], id_col="doc_id")
 
 
+def _q_exact_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of exact dedup (hash_key=True): groups on
+    xxhash64(text) so the shuffle carries (8 B hash, id) instead of full
+    documents. Oracle: the same grouping with the hash recomputed by the
+    pure-SQL xxhash64-string chain — a silent hash drift would break it."""
+    from ddsketch_ruby_spark.operators.dedup import exact_dedup
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return exact_dedup(docs, key_cols=["text"], id_col="doc_id", hash_key=True)
+
+
 def _q_ddsketch_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sketch: l_quantity weighted by l_linenumber (>0)."""
     from ddsketch_ruby_spark.operators.quantiles import ddsketch_quantiles
@@ -1127,6 +1138,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_threezone_events": _q_ddsketch_threezone,
     "ddsketch_weighted_grouped": _q_ddsketch_weighted_grouped,
     "exact_dedup_documents": _q_exact_dedup_documents,
+    "exact_dedup_hashed": _q_exact_dedup_hashed,
     "token_stats_by_lang": _q_token_stats_by_lang,
     "langid_documents": _q_langid_documents,
     "quality_by_lang": _q_quality_by_lang,
@@ -1496,6 +1508,17 @@ def _to_signed(h: str) -> str:
         f"THEN CAST({h} AS HUGEINT) - 18446744073709551616 "
         f"ELSE CAST({h} AS HUGEINT) END AS BIGINT)"
     )
+
+
+def _exact_dedup_hashed_oracle_sql() -> str:
+    """Dedup grouped on the SQL-recomputed xxhash64(text): pins that the
+    8-byte-shuffle dedup path hashes exactly what Spark hashes."""
+    frag, fin, h = _xxh64_str_chain("dk", "src")
+    return f"""
+WITH src AS (SELECT doc_id, text AS t FROM documents){frag}
+SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM {fin} GROUP BY {h}
+"""
 
 
 def _doc_fingerprint_oracle_sql() -> str:
@@ -2081,6 +2104,7 @@ FROM documents GROUP BY lang
         "cosine_topk_embeddings": _cosine_oracle(),
         "hll_users_by_type": _hll_oracle_sql(),
         "doc_fingerprints": _doc_fingerprint_oracle_sql(),
+        "exact_dedup_hashed": _exact_dedup_hashed_oracle_sql(),
         "simhash_documents": _simhash_oracle_sql(),
         "minhash_sig_matrix": _minhash_oph_oracle_sql(),
         "minhash_near_dup_pairs": _minhash_pairs_oracle_sql(
