@@ -370,3 +370,48 @@ def test_stream_stream_join_same_ts_name(spark, tmp_path):
     joined = stream_stream_latency_join(a, b, ["rid"], "ts", "ts")
     assert joined.columns == ["rid", "ts", "ts_resp", "latency_s"]
     joined._jdf.queryExecution().analyzed()  # forces analysis
+
+
+def test_stream_collapsed_store_converges_to_batch(spark, stream_dir):
+    """Collapse clamping composed with streaming: with bin_limit=20 the
+    collapse fires REPEATEDLY across micro-batch boundaries (each batch
+    can raise max_key and re-clamp earlier state), and the final stream
+    state must still equal the single-shot batch build — the
+    order-insensitive clamp contract under incremental folding."""
+    d, src = stream_dir
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    spec = DDSketchSpec(
+        0.01,
+        store_type="collapsing_lowest",
+        bin_limit=20,
+        quantiles={"q10": 0.1, "q50": 0.5, "q99": 0.99},
+    )
+    out = sketch_stream_agg(stream, spec, "value", ["event_type"])
+    mem = _run_stream(spark, out, "sketch_collapsed_updates")
+    final = (
+        mem.toPandas().groupby("event_type").tail(1).set_index("event_type")
+    )
+
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_quantiles
+
+    ref = {
+        r["event_type"]: r.asDict()
+        for r in ddsketch_quantiles(
+            src,
+            "value",
+            group_by=["event_type"],
+            quantiles={"q10": 0.1, "q50": 0.5, "q99": 0.99},
+            store_type="collapsing_lowest",
+            bin_limit=20,
+            engine="python",
+        ).collect()
+    }
+    assert set(final.index) == set(ref)
+    for et, r in ref.items():
+        for q in ("q10", "q50", "q99"):
+            assert final.loc[et, q] == pytest.approx(r[q], rel=1e-12), (et, q)
+        assert final.loc[et, "count"] == r["count"]
