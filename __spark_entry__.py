@@ -82,7 +82,7 @@ def _ddsketch_oracle_sql(
     g = ", ".join(group_cols)
     g_comma = f"{g}, " if g else ""
     part = f"PARTITION BY {g} " if g else ""
-    qvalues = ", ".join(f"('{name}', {q!r})" for name, q in qs.items())
+    qvalues = ", ".join(f"('{name}', {_dlit(q)})" for name, q in qs.items())
     join_n = f"JOIN n USING ({g})" if g else "CROSS JOIN n"
 
     if mapping == "logarithmic":
@@ -377,7 +377,7 @@ def _collapsed_quantiles_oracle_sql() -> str:
     """Quantile pipeline over the CLAMPED histogram (collapsing-lowest,
     bin_limit=20): GREATEST(k, max_k-19) before the cumulative scan."""
     qs = {"q10": 0.1, "q50": 0.5, "q99": 0.99}
-    qvalues = ", ".join(f"('{name}', {q!r})" for name, q in qs.items())
+    qvalues = ", ".join(f"('{name}', {_dlit(q)})" for name, q in qs.items())
     return f"""
 WITH vals AS (
   SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value > 0
@@ -767,7 +767,7 @@ def _threezone_oracle_sql(value_expr: str, table: str, qs: dict[str, float]) -> 
 
     m = mapping_from_name("logarithmic", ALPHA)
     mp = m.min_possible
-    qvalues = ", ".join(f"('{name}', {q!r})" for name, q in qs.items())
+    qvalues = ", ".join(f"('{name}', {_dlit(q)})" for name, q in qs.items())
     key = lambda col: (  # noqa: E731
         f"CAST(CEIL(LN({col}) / LN(2.0) * {_dlit(m._multiplier)}) AS BIGINT)"
     )
@@ -1224,7 +1224,7 @@ def _weighted_oracle_sql(
     g = ", ".join(group_cols)
     g_comma = f"{g}, " if g else ""
     part = f"PARTITION BY {g} " if g else ""
-    qvalues = ", ".join(f"('{name}', {q!r})" for name, q in qs.items())
+    qvalues = ", ".join(f"('{name}', {_dlit(q)})" for name, q in qs.items())
     join_n = f"JOIN n USING ({g})" if g else "CROSS JOIN n"
     return f"""
 WITH vals AS (
@@ -1729,7 +1729,7 @@ WITH sigm AS ({sig_sql}){_lsh_candidates_sql(H, bands)},
 est AS (
   SELECT c.id_a, c.id_b,
          SUM(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END)
-           / {float(H)!r} AS est_jaccard
+           / {_dlit(float(H))} AS est_jaccard
   FROM cand c
   JOIN sigm sa ON sa.doc_id = c.id_a
   JOIN sigm sb ON sb.doc_id = c.id_b AND sb.pos = sa.pos
@@ -1760,7 +1760,7 @@ WITH sigm AS ({sig_sql}){_lsh_candidates_sql(H, bands)},
 est AS (
   SELECT c.id_a, c.id_b,
          SUM(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END)
-           / {float(H)!r} AS est
+           / {_dlit(float(H))} AS est
   FROM cand c
   JOIN sigm sa ON sa.doc_id = c.id_a
   JOIN sigm sb ON sb.doc_id = c.id_b AND sb.pos = sa.pos

@@ -630,17 +630,22 @@ def dedup_clusters(
     (id, cluster_id) with cluster_id = min id reachable through the pair
     graph — the canonical-document assignment for near-dup removal.
 
-    Algorithm: iterative min-label propagation (alternating large-star
-    rounds): each node adopts the smallest label among itself and its
-    neighbors; converges in O(diameter) rounds, and near-dup cluster
-    diameters are tiny in practice. Each round is one shuffle of
-    (id, label) pairs — no driver-side graph.
+    Algorithm: iterative min-label propagation — each node adopts the
+    smallest label among itself and its neighbors; the min id travels one
+    hop per round, so convergence needs O(max cluster diameter) rounds
+    (near-dup cluster diameters are tiny in practice). Each round is one
+    shuffle of (id, label) pairs — no driver-side graph. If labels are
+    still changing after ``max_iterations`` rounds the function RAISES
+    rather than silently returning unconverged (wrong) cluster ids —
+    raise ``max_iterations`` for pathologically chain-shaped graphs.
 
     Each round's labels are ``localCheckpoint``-ed (eager) so the plan is
     truncated per iteration: without it the lineage nests one join+agg per
     round and any recomputation (or just planning) explodes combinatorially
     with the iteration count — the difference between O(rounds) and
-    O(rounds^2)+ work at corpus scale.
+    O(rounds^2)+ work at corpus scale. The previous round's checkpoint
+    blocks are explicitly released once the new round is materialized, so
+    executor storage holds at most two label copies at any time.
     """
     edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
@@ -652,8 +657,18 @@ def dedup_clusters(
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
+    def _release_checkpoint(df: DataFrame) -> None:
+        """Free a localCheckpoint'ed frame's storage blocks now (its
+        analyzed plan is a LogicalRDD over the stored RDD); best-effort —
+        on failure the ContextCleaner GCs the blocks eventually."""
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
     edges = edges.cache()
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["id"])
@@ -676,9 +691,19 @@ def dedup_clusters(
             .limit(1)
             .count()
         )
+        _release_checkpoint(labels)  # at most two label copies ever stored
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iterations} "
+            "label-propagation rounds (a cluster's diameter exceeds the "
+            "round budget); raise max_iterations — returning now would "
+            "yield silently wrong cluster ids"
+        )
     return labels
 
 

@@ -28,6 +28,10 @@ DATA = os.path.join(
     f"web_pages_{ROWS}.parquet",
 )
 CORES = tuple(int(c) for c in os.environ.get("SCALING_CORES", "2,8").split(","))
+if len(CORES) != 2:
+    raise SystemExit(
+        f"SCALING_CORES must name exactly two levels (N,4N), got {CORES!r}"
+    )
 RUNS = int(os.environ.get("DEDUP_RUNS", "2"))
 
 

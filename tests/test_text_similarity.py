@@ -433,3 +433,22 @@ def test_ngram_hot_shingle_cap(spark):
         df, "text", "doc_id", min_jaccard=0.5, max_doc_freq=None
     ).count()
     assert uncapped >= 30 * 29 / 2  # the quadratic join the cap avoids
+
+
+def test_dedup_clusters_raises_when_not_converged(spark):
+    """A 25-node chain has diameter 24; with only 5 rounds the min label
+    cannot reach the far end — returning would be silently wrong, so the
+    operator must raise instead."""
+    from ddsketch_ruby_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iterations=5)
+    # and with enough rounds the same graph collapses to cluster 0
+    labels = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, max_iterations=30).collect()
+    }
+    assert labels == {i: 0 for i in range(25)}
