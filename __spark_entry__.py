@@ -477,22 +477,111 @@ def _q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("event_type", F.round("approx_distinct", 3).alias("approx_distinct"))
 
 
+def _bound_checked(
+    est: DataFrame,
+    values: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: dict[str, float],
+    eps: dict[str, float],
+) -> DataFrame:
+    """Turn an approximate-sketch quantile result into a hash-matchable
+    bound check: for each quantile estimate v̂, compute its EXACT rank
+    interval in the data ([#\\{x < v̂\\}, #\\{x <= v̂\\}], the interval because of
+    ties) and assert it intersects [q - eps, q + eps] — the sketch's
+    published rank-error guarantee. Output (group..., qname, count,
+    within_bound); the DuckDB oracle recomputes the exact count and asserts
+    within_bound must be TRUE, so a sketch whose estimate drifts outside
+    its guarantee (or whose count plumbing breaks) turns the driver row
+    red. This mirrors the reference's accuracy-matcher contract
+    (spec/support/custom_sketch_matchers.rb:1-13: assert |q̂−q| within the
+    sketch's guarantee against exactly-computed quantiles), adapted to
+    rank space where the KLL/t-digest guarantees are actually stated.
+
+    The check is partitioning-invariant by construction: any run whose
+    estimate satisfies the guarantee produces the same booleans."""
+    stack = ", ".join(
+        f"'{name}', CAST({q!r} AS DOUBLE), `{name}`" for name, q in qs.items()
+    )
+    long = est.select(
+        *group_cols,
+        F.col("count").alias("__sk_n"),
+        F.expr(f"stack({len(qs)}, {stack}) AS (qname, q, est)"),
+    )
+    vals = values.select(
+        *group_cols, F.col(value_col).cast("double").alias("__x")
+    )
+    joined = (
+        vals.join(F.broadcast(long), group_cols)
+        if group_cols
+        else vals.crossJoin(F.broadcast(long))
+    )
+    agg = joined.groupBy(*group_cols, "qname", "q", "est", "__sk_n").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum((F.col("__x") < F.col("est")).cast("long")).alias("__lo"),
+        F.sum((F.col("__x") <= F.col("est")).cast("long")).alias("__hi"),
+    )
+    eps_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in eps.items() for x in (kv[0], float(kv[1]))]
+        ),
+        F.col("qname"),
+    )
+    n = F.col("__n").cast("double")
+    within = (
+        (F.col("__lo") / n <= F.col("q") + eps_col)
+        & (F.col("__hi") / n >= F.col("q") - eps_col)
+        & (F.col("__sk_n") == n)
+    )
+    return agg.select(
+        *group_cols,
+        "qname",
+        n.alias("count"),
+        within.alias("within_bound"),
+    )
+
+
 def _q_tdigest_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest (delta=200) quantiles of l_extendedprice per returnflag,
+    gated as a rank-error bound check (see _bound_checked). The k1 scale
+    k(q) = (delta/2pi)*asin(2q-1) keeps every cluster's k-size <= 1, so a
+    cluster spans at most 1/k'(q) = (2pi/delta)*sqrt(q(1-q)) of rank space;
+    midpoint interpolation error is bounded by about one cluster width.
+    eps(q) = (4pi/delta)*sqrt(q(1-q)) allows a 2x merge-degradation factor
+    — measured errors at sf0.01 are ~10x inside this bound."""
     from ddsketch_ruby_spark.operators.agg import sketch_agg
     from ddsketch_ruby_spark.sketches.tdigest import TDigestSpec
 
     (li,) = _tables(spark, sf_dir, "lineitem")
-    return sketch_agg(
-        li, TDigestSpec(delta=200), "l_extendedprice", ["l_returnflag"]
+    delta = 200.0
+    est = sketch_agg(
+        li, TDigestSpec(delta=delta), "l_extendedprice", ["l_returnflag"]
+    )
+    eps = {
+        name: (4.0 * math.pi / delta) * math.sqrt(q * (1.0 - q))
+        for name, q in _QS.items()
+    }
+    return _bound_checked(
+        est, li, "l_extendedprice", ["l_returnflag"], _QS, eps
     )
 
 
 def _q_kll_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL (k=200) quantiles of l_quantity, gated as a rank-error bound
+    check (see _bound_checked). Published two-sided normalized rank-error
+    for KLL with c=2/3: eps(k) ~ 2.296 / k^0.9433 (Karnin-Lang-Liberty
+    2016 as calibrated in Apache DataSketches) — 0.0155 at k=200; the
+    returned estimate is always a retained input item so its exact rank
+    interval is well-defined."""
     from ddsketch_ruby_spark.operators.agg import sketch_agg
     from ddsketch_ruby_spark.sketches.kll import KLLSpec
 
     (li,) = _tables(spark, sf_dir, "lineitem")
-    return sketch_agg(li, KLLSpec(k=200), "l_quantity", [])
+    k = 200
+    est = sketch_agg(li, KLLSpec(k=k), "l_quantity", [])
+    eps_k = 2.296 / (k**0.9433)
+    eps = {name: eps_k for name in _QS}
+    return _bound_checked(est, li, "l_quantity", [], _QS, eps)
 
 
 def _q_kll_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -901,6 +990,79 @@ def _q_ddsketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddsketch_quantiles_long(daily, "value", ["day"], quantiles=_QS)
 
 
+def _q_ddsketch_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream≡batch≡oracle: the SAME per-day quantiles as
+    ddsketch_daily_value, computed through Structured Streaming — a
+    watermarked 1-day-window JVM-histogram aggregation
+    (streaming/sketch_stream.py sketch_stream_hist) over a file-source
+    stream of the events table split into multiple micro-batches, emitted
+    in append mode as windows close, then assembled batch-side. Buckets
+    are exact counts (the DDSketch monoid), so the streamed result is
+    bit-identical to the batch pipeline and is gated against the SAME
+    DuckDB oracle. A far-future sentinel row (filtered back out below)
+    pushes the watermark past the last real day so append mode emits every
+    window under the availableNow trigger."""
+    import tempfile
+    import uuid
+
+    from ddsketch_ruby_spark.operators.ddsketch_jvm import assemble_histogram
+    from ddsketch_ruby_spark.sketches.ddsketch_spec import DDSketchSpec
+    from ddsketch_ruby_spark.streaming.sketch_stream import sketch_stream_hist
+
+    (events,) = _tables(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="ddsk_stream_daily_")
+    src_dir = f"{stage}/src"
+    # two data files -> two micro-batches (maxFilesPerTrigger=1), so the
+    # stateful operator genuinely folds across triggers; sentinel last
+    for i in range(2):
+        events.filter(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    last_ts = events.agg(F.max("ts")).collect()[0][0]
+    events.agg(F.max("ts").alias("__mx")).select(
+        F.lit(10**9).cast("long").alias("event_id"),
+        (F.col("__mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(0).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    spec = DDSketchSpec(
+        include_stats=False, value_formula="pow", quantiles=_QS
+    )
+    hist = sketch_stream_hist(
+        stream.filter(F.col("value") > 0).select("ts", "value"),
+        spec,
+        "value",
+        "ts",
+        window="1 day",
+        watermark="0 seconds",
+    )
+    qn = f"ddsk_stream_daily_{uuid.uuid4().hex[:8]}"
+    q = (
+        hist.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{stage}/ckpt")
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.table(qn).where(F.col("window_start") <= F.lit(last_ts))
+    wide = assemble_histogram(emitted, spec, ["window_start"])
+    stack = ", ".join(f"'{n}', round({n}, 6)" for n in _QS)
+    return wide.select(
+        F.to_date("window_start").alias("day"),
+        F.expr(f"stack({len(_QS)}, {stack}) as (qname, qvalue)"),
+    )
+
+
 def _q_ddsketch_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-enriched sketch: lineitem joined to part (explicitly
     broadcast — the small side never shuffles) then per-brand quantiles."""
@@ -1123,6 +1285,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_linear_offset_events": _q_ddsketch_linear_offset,
     "ddsketch_cubic_offset_events": _q_ddsketch_cubic_offset,
     "ddsketch_daily_value": _q_ddsketch_daily,
+    "ddsketch_stream_daily": _q_ddsketch_stream_daily,
     "ddsketch_price_by_brand": _q_ddsketch_price_by_brand,
     "props_k_stats": _q_props_k_stats,
     "ddsketch_events_quantiles": _q_events_quantiles,
@@ -2026,6 +2189,12 @@ FROM events WHERE value > 0 GROUP BY bucket_key
             "value", "(SELECT CAST(ts AS DATE) AS day, value FROM events) AS t",
             ["day"], _QS,
         ),
+        # the streamed twin is gated against the SAME exact-histogram
+        # oracle — stream ≡ batch ≡ SQL
+        "ddsketch_stream_daily": _ddsketch_oracle_sql(
+            "value", "(SELECT CAST(ts AS DATE) AS day, value FROM events) AS t",
+            ["day"], _QS,
+        ),
         "ddsketch_price_by_brand": _ddsketch_oracle_sql(
             "l_extendedprice",
             "(SELECT l_extendedprice, p_brand FROM lineitem "
@@ -2143,6 +2312,24 @@ SELECT (SELECT MIN(x) FROM r, n WHERE rn >= 0.25 * cnt) AS q25,
        (SELECT MIN(x) FROM r, n WHERE rn >= 0.5 * cnt) AS q50,
        (SELECT MIN(x) FROM r, n WHERE rn >= 0.9 * cnt) AS q90,
        (SELECT cnt FROM n) AS count
+""",
+        # Bound-check gates for the order-dependent compacting sketches:
+        # Spark computes within_bound against the exact ranks itself
+        # (_bound_checked); DuckDB recomputes the exact per-group counts
+        # and asserts the published guarantee MUST hold — any estimate
+        # drifting outside its rank-error bound flips the boolean and the
+        # hash mismatches.
+        "tdigest_price_by_returnflag": """
+SELECT l_returnflag, qname,
+       CAST(COUNT(*) AS DOUBLE) AS count,
+       TRUE AS within_bound
+FROM lineitem CROSS JOIN (VALUES ('q50'), ('q95'), ('q99')) qs(qname)
+GROUP BY l_returnflag, qname
+""",
+        "kll_quantity_quantiles": """
+SELECT qname, CAST(COUNT(*) AS DOUBLE) AS count, TRUE AS within_bound
+FROM lineitem CROSS JOIN (VALUES ('q50'), ('q95'), ('q99')) qs(qname)
+GROUP BY qname
 """,
         "cms_heavy_parts": _cms_oracle_sql(),
         "bloom_membership": _bloom_oracle_sql(),
