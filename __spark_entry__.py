@@ -511,6 +511,10 @@ def _bound_checked(
     vals = values.select(
         *group_cols, F.col(value_col).cast("double").alias("__x")
     )
+    # ungrouped: a cross join against the BROADCAST quantile-estimate rows
+    # (|qs| rows by construction) — the nested-loop is bounded at
+    # |data| x |qs| comparisons with no shuffle; declared in
+    # tests/test_plan_lint.py's allow-list
     joined = (
         vals.join(F.broadcast(long), group_cols)
         if group_cols
@@ -673,6 +677,92 @@ SELECT MAX(CASE WHEN qname = 'q25' THEN ROUND(qv, 6) END) AS q25,
        (SELECT cnt FROM n) AS count
 FROM fin
 """
+
+
+def _q_ivf_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-ground-truth recall gate for the APPROXIMATE IVF path
+    (nprobe=2 of n_cells=8 — a genuinely truncated search, unlike the
+    exhaustive ivf_exhaustive_topk gate). Every corpus vector whose id is
+    divisible by 97 doubles as a query with itself as the planted nearest
+    neighbor: a query identical to a corpus vector always lands in that
+    vector's cell (same argmin over the same centroids), and its own cell
+    is by definition the closest probe — so recall@5 against the planted
+    truth is EXACTLY 1.0 for any trained centroids, which DuckDB can
+    assert without re-running the ANN. Measured: no other corpus vector
+    exceeds cosine 0.51 with any planted query at sf<=0.1, so ties cannot
+    displace the planted hit. The .collect() pulls only the bounded query
+    workload (<= ~21 rows), never the corpus."""
+    from ddsketch_ruby_spark.operators.similarity import (
+        _probe_cells,
+        cosine_topk,
+        ivf_assign,
+        ivf_train,
+    )
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") % 97 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = ivf_train(emb, "embedding", n_cells=8, seed=42)
+    assigned = ivf_assign(emb, "embedding", centroids)
+    parts = []
+    for r in qrows:
+        probes = _probe_cells(centroids, r["embedding"], 2)
+        cand = assigned.filter(F.col("__cell").isin(probes))
+        top = cosine_topk(cand, "embedding", "vec_id", r["embedding"], k=5)
+        parts.append(
+            top.select(
+                F.lit(int(r["vec_id"])).alias("query_id"), "vec_id", "sim"
+            )
+        )
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    hit = (F.col("vec_id") == F.col("query_id")) & (F.col("sim") == 1.0)
+    return un.groupBy("query_id").agg(
+        (F.max(hit.cast("int")) == 1).alias("found")
+    )
+
+
+def _q_lsh_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-ground-truth recall gate for multi-probe hyperplane LSH
+    (lsh_topk, n_planes=8, max_hamming=1). An identical query/corpus pair
+    shares every hyperplane sign, so the planted vector sits in the
+    query's own bucket — inside the probe set even before the Hamming-1
+    expansion — and must surface in the top-5 at cosine 1.0."""
+    from ddsketch_ruby_spark.operators.similarity import lsh_topk
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") % 97 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    parts = []
+    for r in qrows:
+        top = lsh_topk(
+            emb,
+            "embedding",
+            "vec_id",
+            r["embedding"],
+            k=5,
+            n_planes=8,
+            max_hamming=1,
+        )
+        parts.append(
+            top.select(
+                F.lit(int(r["vec_id"])).alias("query_id"), "vec_id", "sim"
+            )
+        )
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    hit = (F.col("vec_id") == F.col("query_id")) & (F.col("sim") == 1.0)
+    return un.groupBy("query_id").agg(
+        (F.max(hit.cast("int")) == 1).alias("found")
+    )
 
 
 def _q_cms_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1345,6 +1435,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kll_quantity_quantiles": _q_kll_quantity,
     "kll_exact_quantity": _q_kll_exact,
     "tdigest_exact_price": _q_tdigest_exact,
+    "ivf_recall_planted": _q_ivf_recall_planted,
+    "lsh_recall_planted": _q_lsh_recall_planted,
     "cms_heavy_parts": _q_cms_heavy_parts,
     "bloom_membership": _q_bloom_membership,
 }
@@ -2330,6 +2422,18 @@ GROUP BY l_returnflag, qname
 SELECT qname, CAST(COUNT(*) AS DOUBLE) AS count, TRUE AS within_bound
 FROM lineitem CROSS JOIN (VALUES ('q50'), ('q95'), ('q99')) qs(qname)
 GROUP BY qname
+""",
+        # planted-ground-truth ANN recall: the construction guarantees
+        # recall@5 = 1.0 exactly (see the query docstrings), so DuckDB
+        # asserts it without re-running the ANN — a drop in approximate-
+        # path recall flips `found` and the hash mismatches
+        "ivf_recall_planted": """
+SELECT vec_id AS query_id, TRUE AS found
+FROM embeddings WHERE vec_id % 97 = 0
+""",
+        "lsh_recall_planted": """
+SELECT vec_id AS query_id, TRUE AS found
+FROM embeddings WHERE vec_id % 97 = 0
 """,
         "cms_heavy_parts": _cms_oracle_sql(),
         "bloom_membership": _bloom_oracle_sql(),

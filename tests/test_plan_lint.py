@@ -20,7 +20,14 @@ import __spark_entry__ as entry
 _DRIVER_SIDE: set[str] = set()
 
 # deliberate bounded O(n^2) verifiers (inequality-join -> BNLJ)
-_ALLOW_NESTED_LOOP = {"cosine_allpairs_dup", "cosine_near_dup_pairs"}
+_ALLOW_NESTED_LOOP = {
+    "cosine_allpairs_dup",
+    "cosine_near_dup_pairs",
+    # _bound_checked cross-joins the data against the BROADCAST sketch
+    # estimates — a |qs|-row build side by construction (3 rows), so the
+    # nested loop is a scan with 3 comparisons per row, not a join blowup
+    "kll_quantity_quantiles",
+}
 
 
 @pytest.mark.parametrize("name", sorted(entry.queries()))

@@ -230,3 +230,91 @@ def test_batched_oph_equals_per_doc_reference(texts, H):
     got = _oph_batch(pd.Series(texts), H, W, seed)
     for g, t in zip(got, texts):
         assert np.array_equal(g, per_doc(t)), t
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_batched_simhash_equals_per_doc_reference(texts):
+    """The Arrow-batch-vectorized SimHash kernel (one concatenated rolling
+    hash + one lexsort distinct + 64 segment-reduced bit votes) must be
+    bit-identical to a naive per-document implementation — including for
+    empty, shorter-than-shingle, and non-ASCII texts."""
+    import pandas as pd
+
+    from ddsketch_ruby_spark.operators.dedup import (
+        _shingle_hashes,
+        _simhash_batch,
+    )
+
+    W = 4
+
+    def per_doc(t):
+        bits = np.arange(64, dtype=np.uint64)
+        sh = _shingle_hashes(t or "", W)
+        votes = ((sh[:, None] >> bits[None, :]) & np.uint64(1)).sum(axis=0)
+        majority = votes * 2 >= len(sh)
+        fp = int((np.uint64(1) << bits)[majority].sum(dtype=np.uint64))
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    got = _simhash_batch(pd.Series(texts), W)
+    assert len(got) == len(texts)
+    for g, t in zip(got, texts):
+        assert int(g) == per_doc(t), t
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            max_size=120,
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+)
+def test_searchsorted_pair_intersection_equals_intersect1d(texts):
+    """The searchsorted pair-intersection kernel used by
+    ngram_jaccard_pairs' verify stage (precomputed sorted distinct sets,
+    int64 wire view restored to uint64 order) must equal np.intersect1d
+    on freshly shingled sets for every pair of docs."""
+    import pandas as pd
+
+    from ddsketch_ruby_spark.operators.dedup import (
+        _batch_distinct_per_doc,
+        _batch_window_hashes,
+        _shingle_hashes,
+    )
+
+    W = 5
+    hv, doc_of, n = _batch_window_hashes(pd.Series(texts), W)
+    hs, ds = _batch_distinct_per_doc(hv, doc_of)
+    # the wire representation the verify stage receives from Arrow
+    splits = np.split(
+        hs.view(np.int64), np.cumsum(np.bincount(ds, minlength=n))[:-1]
+    )
+    for i in range(n):
+        for j in range(i + 1, n):
+            av = np.asarray(splits[i], dtype=np.int64).view(np.uint64)
+            bv = np.asarray(splits[j], dtype=np.int64).view(np.uint64)
+            if len(av) > len(bv):
+                av, bv = bv, av
+            got_c = int(
+                np.count_nonzero(
+                    np.searchsorted(bv, av, side="left")
+                    != np.searchsorted(bv, av, side="right")
+                )
+            )
+            ref_a = _shingle_hashes(texts[i] or "", W)
+            ref_b = _shingle_hashes(texts[j] or "", W)
+            ref_c = len(np.intersect1d(ref_a, ref_b, assume_unique=True))
+            assert got_c == ref_c, (i, j)
