@@ -51,13 +51,22 @@ def main() -> None:
     ddsketch_quantiles(events.limit(1000), "value", quantiles=(0.5,)).collect()
     exact_dedup(documents.limit(100), ["text"], "doc_id", hash_key=True).count()
 
-    def bench(fn, runs: int = 2):
-        best = float("inf")
+    def bench(fn, runs: int = 3):
+        """median-of-N with min/max spread: on a shared box a single
+        best-of-2 swing of +-25% is indistinguishable from a regression;
+        the median is the headline and the published spread makes a
+        round-over-round delta diagnosable as noise without a re-run."""
+        times = []
         for _ in range(runs):
             t0 = time.monotonic()
             fn()
-            best = min(best, time.monotonic() - t0)
-        return round(best, 3)
+            times.append(time.monotonic() - t0)
+        times.sort()
+        return (
+            round(times[len(times) // 2], 3),
+            round(times[0], 3),
+            round(times[-1], 3),
+        )
 
     queries = {
         "ddsketch_events_global": lambda: ddsketch_quantiles(
@@ -102,8 +111,11 @@ def main() -> None:
     }
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name, fn in queries.items():
-        timings[name] = bench(fn)
+        med, lo, hi = bench(fn)
+        timings[name] = med
+        spread[name] = [lo, hi]
 
     n_rows = (
         events.count() + lineitem.count() + documents.count() + embeddings.count()
@@ -113,10 +125,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline sketch+dedup query wall time",
+                "metric": "headline sketch+dedup query wall time (median of 3)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
                 "rows_processed": n_rows,
                 "rows_per_sec": round(n_rows / total, 1) if total else None,

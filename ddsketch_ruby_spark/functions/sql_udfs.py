@@ -102,15 +102,33 @@ def register_sketch_sql(
 
     def _constant_state(payloads: pd.Series) -> bool:
         """True when every row carries the same state array (the
-        broadcast-join shape): object identity first, then a vectorized
-        memcmp against row 0 — no copies, no reshapes."""
+        broadcast-join shape): object identity first, then a cheap
+        (length, first 16, last 16 elements) probe, and the full memcmp
+        only if the probe matches — a heterogeneous batch of large CMS
+        states bails on the probe (O(1) per row) instead of paying
+        O(state_size) per row before falling back."""
+        def _arr(p):
+            # binary payloads (Bloom bit arrays) arrive as bytes, which
+            # np.asarray would wrap as a 0-d scalar — view them as uint8
+            if isinstance(p, (bytes, bytearray, memoryview)):
+                return np.frombuffer(p, dtype=np.uint8)
+            return np.asarray(p)
+
         first_obj = payloads.iloc[0]
-        first = np.asarray(first_obj)
+        first = _arr(first_obj)
+        f_head, f_tail = first[:16], first[-16:]
         for i in range(1, len(payloads)):
             p = payloads.iloc[i]
             if p is first_obj:
                 continue
-            if not np.array_equal(np.asarray(p), first):
+            arr = _arr(p)
+            if (
+                arr.shape != first.shape
+                or not np.array_equal(arr[:16], f_head)
+                or not np.array_equal(arr[-16:], f_tail)
+            ):
+                return False
+            if not np.array_equal(arr, first):
                 return False
         return True
 

@@ -279,6 +279,11 @@ def minhash_signatures(
     # shingling is CPU-heavy: a small-file scan (1-2 splits) would serialize
     # it; spread rows across the cluster first. At real scale the input has
     # plenty of splits and this repartition is a no-op branch.
+    # src.rdd here is PLAN-ONLY — it builds the RDD handle to read the
+    # exact physical partition count without running a job; a file-count
+    # heuristic (df.inputFiles()) would miss multi-split large files and
+    # trigger a spurious full-corpus shuffle. Accepted trade-off: the
+    # handle construction costs ~ms of driver time at plan construction.
     target = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < max(2, target // 2):
         src = src.repartition(target)
@@ -297,6 +302,7 @@ def minhash_lsh_pairs(
     variant: str = "oph",
     max_bucket_size: int | None = 1000,
     signatures: DataFrame | None = None,
+    broadcast_cap: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
@@ -360,14 +366,22 @@ def minhash_lsh_pairs(
         # before dropping them, exactly the skew this cap exists to
         # prevent. Hot buckets are rare by construction (that is what makes
         # them droppable), so the anti side broadcasts and the exploded
-        # rows never shuffle for the cap at all.
+        # rows never shuffle for the cap at all. ASSUMPTION: the number of
+        # DISTINCT over-cap buckets stays driver-broadcastable (millions,
+        # not billions — each is 8 B). An adversarial corpus with a huge
+        # hot-bucket universe fails loudly at the broadcast build; pass
+        # ``broadcast_cap=False`` there: AQE then sizes the anti side at
+        # runtime and falls back to a shuffled anti-join (costing one
+        # local-shuffle materialization of the thin 16 B rows).
         hot_buckets = (
             exploded.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("__bn"))
             .filter(F.col("__bn") > max_bucket_size)
             .select("bucket")
         )
-        exploded = exploded.join(F.broadcast(hot_buckets), "bucket", "left_anti")
+        if broadcast_cap:
+            hot_buckets = F.broadcast(hot_buckets)
+        exploded = exploded.join(hot_buckets, "bucket", "left_anti")
     left = exploded.alias("l")
     right = exploded.alias("r")
     cand = (
@@ -523,20 +537,19 @@ def cosine_near_dup_pairs(
     min_cosine: float = 0.9,
     n_planes: int = 12,
     seed: int = 42,
-    dim: int | None = None,
+    *,
+    dim: int,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket
     self-join for candidates (identical sign pattern — high-cosine pairs
     collide with high probability), exact cosine rerank JVM-side.
 
-    Pass ``dim`` (the embedding dimensionality) explicitly — it is
-    plan-time configuration. When omitted, it is read from the first row,
-    which triggers a driver-side scan action at plan-construction time;
-    never rely on that at scale."""
+    ``dim`` (the embedding dimensionality) is required, keyword-only:
+    it is plan-time configuration. (Earlier versions fell back to reading
+    it from the first row — a driver-side scan action at
+    plan-construction time, retired so the library plans without ever
+    touching data.)"""
     from .similarity import lsh_bucket
-
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
     b = lsh_bucket(df, vec_col, dim, n_planes, seed).select(
         F.col(id_col), F.col(vec_col), F.col("lsh_bucket")
     )
@@ -602,7 +615,8 @@ def ngram_jaccard_exact(
     shingle: int = 5,
     round_to: int = 6,
     shingle_rows: DataFrame | None = None,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
+    broadcast_cap: bool = True,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs via the relational algorithm: explode
     shingle sets, equi-join on the shingle hash (only pairs sharing a
@@ -618,7 +632,11 @@ def ngram_jaccard_exact(
     self-join (aggregate + anti-join, map-side combined — same shape as
     minhash_lsh_pairs' bucket cap); sizes and intersections are both
     computed on the filtered universe, so the Jaccard stays a true set
-    similarity over the kept shingles. At corpus scale always set a cap.
+    similarity over the kept shingles. The DEFAULT cap (1000) bounds the
+    join at ~500k rows per distinct shingle — the safe-by-default setting
+    for arbitrary corpora; pass ``max_doc_freq=None`` to opt out on
+    bounded inputs where the full universe is wanted (the uncapped join
+    is quadratic in the hottest shingle's document frequency).
 
     The shingle explosion is referenced three times (two join sides +
     sizes); for repeated or large runs pass a cached DataFrame via
@@ -630,14 +648,19 @@ def ngram_jaccard_exact(
         else shingle_hash_rows(df, text_col, id_col, shingle)
     )
     if max_doc_freq is not None:
-        # stop-shingles are rare by construction -> broadcast the anti side
+        # stop-shingles are rare by construction -> broadcast the anti
+        # side (same assumption + escape hatch as minhash_lsh_pairs'
+        # bucket cap: broadcast_cap=False lets AQE fall back to a
+        # shuffled anti-join for adversarial hot-shingle universes)
         hot = (
             rows.groupBy("h")
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") > max_doc_freq)
             .select("h")
         )
-        rows = rows.join(F.broadcast(hot), "h", "left_anti")
+        if broadcast_cap:
+            hot = F.broadcast(hot)
+        rows = rows.join(hot, "h", "left_anti")
     sizes = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     a, b = rows.alias("a"), rows.alias("b")
     common = (
@@ -704,6 +727,20 @@ def cosine_pairs_exact(
     ).filter(F.col("cosine") >= min_cosine)
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint'ed frame's storage blocks now (its analyzed
+    plan is a LogicalRDD over the stored RDD); best-effort — on failure
+    the ContextCleaner GCs the blocks eventually. Reaches through the
+    private _jdf handle (no public API exposes the checkpoint RDD);
+    tests/test_text_similarity.py pins the behavior so a Spark upgrade
+    breaking the path fails CI loudly instead of silently regressing
+    dedup_clusters storage to O(rounds)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_type: str = "long",
@@ -740,15 +777,6 @@ def dedup_clusters(
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
-    def _release_checkpoint(df: DataFrame) -> None:
-        """Free a localCheckpoint'ed frame's storage blocks now (its
-        analyzed plan is a LogicalRDD over the stored RDD); best-effort —
-        on failure the ContextCleaner GCs the blocks eventually."""
-        try:
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
-
     edges = edges.cache()
     labels = labels.localCheckpoint(eager=True)
     converged = False

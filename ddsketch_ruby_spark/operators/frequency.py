@@ -59,6 +59,18 @@ def cms_estimate(
     return dict(zip(list(items), [float(e) for e in est]))
 
 
+def _scratch_col(df: DataFrame, base: str) -> str:
+    """A scratch column name guaranteed absent from df — a user column
+    literally named __h must survive the probe untouched."""
+    name = base
+    i = 0
+    existing = set(df.columns)
+    while name in existing:
+        i += 1
+        name = f"{base}_{i}"
+    return name
+
+
 def cms_probe_column(
     df: DataFrame, col: str, spec: CMSSpec, state: np.ndarray
 ) -> DataFrame:
@@ -74,14 +86,15 @@ def cms_probe_column(
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField("est_count", T.DoubleType())]
     )
-    hashed = df.withColumn("__h", F.xxhash64(col))
+    hcol = _scratch_col(df, "__h")
+    hashed = df.withColumn(hcol, F.xxhash64(col))
 
     def probe(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            h = pdf["__h"].to_numpy()
-            out = pdf.drop(columns=["__h"])
+            h = pdf[hcol].to_numpy()
+            out = pdf.drop(columns=[hcol])
             out["est_count"] = spec.estimate(counts, h)
             yield out
 
@@ -107,15 +120,16 @@ def bloom_filter_column(
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField("maybe_member", T.BooleanType())]
     )
-    hashed = df.withColumn("__h", F.xxhash64(col))
+    hcol = _scratch_col(df, "__h")
+    hashed = df.withColumn(hcol, F.xxhash64(col))
 
     def probe(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            h = pdf["__h"].to_numpy()
+            h = pdf[hcol].to_numpy()
             member = spec.contains(bits, h)
-            out = pdf.drop(columns=["__h"])
+            out = pdf.drop(columns=[hcol])
             out["maybe_member"] = member
             yield out
 

@@ -3,7 +3,7 @@
 
 Unit of work = one input file (parquet split). For each unit we write,
 atomically (temp + rename), one partial-state parquet plus a lineage row
-(split id, rows, wall seconds, finished-at). Resume = list pending units,
+(split id, values_sketched, wall seconds, finished-at). Resume = list pending units,
 anti-join against completed lineage, process only the remainder, then merge
 all persisted partials. A killed job therefore never recomputes a finished
 split, and the final merge is a pure fold over the checkpoint directory.
@@ -85,16 +85,20 @@ class CheckpointedSketchBuild:
                 for f in os.listdir(out)
                 if f.endswith(".parquet")
             )
-            # lineage row count comes from the persisted partial states
-            # (count = values sketched, i.e. non-null rows), NOT a second
-            # df.count() scan of the input — at corpus scale that doubled
-            # the I/O of the whole build. The partial parquet is a few
+            # the metric comes from the persisted partial states
+            # (sum of state counts = values actually sketched, i.e.
+            # non-null inputs), NOT a second df.count() scan of the input
+            # — at corpus scale that doubled the I/O of the whole build.
+            # Named values_sketched (not "rows") precisely because it
+            # differs from the input row count on inputs containing
+            # nulls; reconcile against source row counts with a null-
+            # aware count, not this field. The partial parquet is a few
             # rows, so this read is footer-sized.
             n_rows = self._partial_row_count(out)
             lineage_row = {
                 "split": sid,
                 "input": path,
-                "rows": n_rows,
+                "values_sketched": n_rows,
                 "sketch_bytes": sketch_bytes,
                 "wall_sec": round(time.monotonic() - t0, 3),
                 "finished_at": time.time(),

@@ -72,7 +72,7 @@ def test_lineage_rows_have_metrics(spark, tmp_path, splits):
     b.run(splits[:1])
     rows = [json.load(open(p)) for p in glob.glob(os.path.join(d, "lineage", "*.json"))]
     assert len(rows) == 1
-    assert rows[0]["rows"] > 0
+    assert rows[0]["values_sketched"] > 0
     assert rows[0]["sketch_bytes"] > 0
     assert rows[0]["wall_sec"] > 0
     assert "finished_at" in rows[0]
@@ -98,4 +98,4 @@ def test_no_second_input_scan_for_lineage_rows(spark, tmp_path, splits, monkeypa
         json.load(open(p))
         for p in glob.glob(str(tmp_path / "ck" / "lineage" / "*.json"))
     ][0]
-    assert row["rows"] > 0
+    assert row["values_sketched"] > 0

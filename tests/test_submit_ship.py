@@ -57,6 +57,6 @@ def test_spark_submit_pyfiles_resume(spark, tmp_path):
         json.load(open(p))
         for p in glob.glob(str(tmp_path / "ckpt" / "lineage" / "*.json"))
     ]
-    assert len(lineage) == 2 and all(row["rows"] > 0 for row in lineage)
+    assert len(lineage) == 2 and all(row["values_sketched"] > 0 for row in lineage)
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == src.select("lang").distinct().count()

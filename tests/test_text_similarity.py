@@ -143,7 +143,7 @@ def test_cosine_near_dup_pairs(spark, planted):
 
     df, query, rows = planted
     got = cosine_near_dup_pairs(
-        df, "embedding", "vec_id", min_cosine=0.85, n_planes=6
+        df, "embedding", "vec_id", min_cosine=0.85, n_planes=6, dim=32
     ).collect()
     planted_ids = {r[0] for r in rows if r[0] >= 1000}
     hit_pairs = [
@@ -452,3 +452,84 @@ def test_dedup_clusters_raises_when_not_converged(spark):
         for r in dedup_clusters(pairs, max_iterations=30).collect()
     }
     assert labels == {i: 0 for i in range(25)}
+
+
+def test_release_checkpoint_frees_storage_blocks(spark):
+    """Pins the private-API checkpoint release (dedup.py
+    _release_checkpoint): a localCheckpoint'ed frame's RDD blocks must
+    actually disappear from executor storage after release. If a Spark
+    upgrade breaks the _jdf path, _release_checkpoint degrades to a no-op
+    and THIS test fails — loud at CI, not a silent O(rounds) storage
+    regression in dedup_clusters."""
+    import time
+
+    from ddsketch_ruby_spark.operators.dedup import _release_checkpoint
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def stored_rdd_ids():
+        return {info.id() for info in jsc.getRDDStorageInfo()}
+
+    before = stored_rdd_ids()
+    df = spark.range(100000).localCheckpoint(eager=True)
+    added = stored_rdd_ids() - before
+    assert added, "localCheckpoint did not register any storage blocks"
+    _release_checkpoint(df)
+    # unpersist(blocking=False) removes blocks asynchronously
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline:
+        if not (stored_rdd_ids() & added):
+            break
+        time.sleep(0.2)
+    assert not (stored_rdd_ids() & added), (
+        "checkpoint blocks still stored after _release_checkpoint"
+    )
+
+
+def test_incremental_dedup_reuses_stored_signatures(spark, tmp_path):
+    """The production incremental path: persist the signature matrix to
+    parquet, sign ONLY the new documents, union, and run the LSH pairing
+    over the combined matrix. Output must equal a full recompute, and the
+    old documents must never be re-shingled — their text never enters the
+    plan (the stored branch is a parquet scan of (id, sig))."""
+    from ddsketch_ruby_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, f"{base} variant {i} " + "x" * (i % 7)) for i in range(60)]
+    # near-dup cluster straddling the old/new boundary
+    rows += [(100 + j, base + " shared tail of text") for j in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = df.filter("doc_id < 102")
+    new = df.filter("doc_id >= 102")
+
+    sig_path = str(tmp_path / "signatures")
+    minhash_signatures(old, "text", "doc_id", num_hashes=64).write.parquet(
+        sig_path
+    )
+    stored = spark.read.parquet(sig_path)
+    combined = stored.unionByName(
+        minhash_signatures(new, "text", "doc_id", num_hashes=64)
+    )
+    inc = minhash_lsh_pairs(
+        df, "text", "doc_id", num_hashes=64, bands=16, min_jaccard=0.5,
+        signatures=combined,
+    )
+    # the old docs' contribution is a parquet scan of the signature
+    # matrix — no text column anywhere upstream of it
+    assert any("signatures" in f for f in inc.inputFiles()), inc.inputFiles()
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"] for r in inc.collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(
+            df, "text", "doc_id", num_hashes=64, bands=16, min_jaccard=0.5
+        ).collect()
+    }
+    assert got == full
+    assert any(a >= 100 and b >= 102 for a, b in got), (
+        "expected at least one old-new near-dup pair"
+    )
