@@ -98,17 +98,34 @@ def main() -> None:
         ).parquet(DATA)
         spark.stop()
 
+    # INTERLEAVE the two levels (lo, hi, lo, hi, ...) and keep the best
+    # per level: this shared box drifts by +-20% over tens of minutes
+    # (host contention / thermal), so running all-lo-then-all-hi folds
+    # the drift straight into the efficiency ratio; alternating cancels
+    # it. Each invocation is still a clean JVM with its own warmup.
     results = {}
-    for cores in CORES:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run", str(cores)],
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
-        print(line)
+    for _ in range(RUNS):
+        for cores in CORES:
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--run",
+                    str(cores),
+                ],
+                capture_output=True,
+                text=True,
+                check=True,
+                env={**os.environ, "DEDUP_RUNS": "1"},
+            )
+            line = [
+                l for l in out.stdout.splitlines() if l.startswith("{")
+            ][-1]
+            r = json.loads(line)
+            print(line)
+            best = results.get(cores)
+            if best is None or r["secs"] < best["secs"]:
+                results[cores] = r
 
     lo, hi = CORES
     eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)

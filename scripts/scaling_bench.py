@@ -123,18 +123,33 @@ def main() -> None:
         ).parquet(DATA)
         spark.stop()
 
-    # 2. identical job at each parallelism, clean JVM per run
+    # 2. identical job at each parallelism, clean JVM per run.
+    # INTERLEAVE the levels (lo, hi, lo, hi) and keep the best per level:
+    # this shared box drifts +-20% over tens of minutes, and running
+    # all-lo-then-all-hi folds that drift straight into the efficiency
+    # ratio; alternating cancels it.
     results = {}
-    for cores in CORES:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run", str(cores)],
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
-        print(line)
+    for _ in range(int(os.environ.get("SCALING_PASSES", "2"))):
+        for cores in CORES:
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--run",
+                    str(cores),
+                ],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            line = [
+                l for l in out.stdout.splitlines() if l.startswith("{")
+            ][-1]
+            r = json.loads(line)
+            print(line)
+            best = results.get(cores)
+            if best is None or r["secs"] < best["secs"]:
+                results[cores] = r
 
     # 3. accuracy: q99 of latency vs the exact sort oracle (DuckDB)
     import duckdb
