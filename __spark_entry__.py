@@ -444,6 +444,48 @@ SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def _q_dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL over the documents table: exact
+    n-gram Jaccard pairs -> cluster collapse -> keep one canonical doc
+    (min id) per cluster plus all unpaired docs. Oracle: the recursive-CTE
+    cluster labels keep ids where cluster_id == id, unioned with ids
+    outside the pair graph."""
+    from ddsketch_ruby_spark.operators.dedup import (
+        collapse_near_dups,
+        ngram_jaccard_exact,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_exact(
+        docs, "text", "doc_id", min_jaccard=0.5, max_doc_freq=100
+    )
+    kept = collapse_near_dups(docs, pairs, "doc_id")
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+def _dedup_collapse_oracle_sql() -> str:
+    labels = ORACLES["dedup_clusters_documents"]
+    return f"""
+WITH labels AS ({labels})
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+WHERE l.id IS NULL OR l.cluster_id = d.doc_id
+"""
+
+
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style pre-tokenizer piece counts per document — the
+    vocabulary-free BPE token-count estimate, JVM regexp_count vs DuckDB
+    regexp_extract_all over the identical portable pattern (disjoint
+    alternatives, so leftmost-first and RE2 agree by construction)."""
+    from ddsketch_ruby_spark.functions.text import bpe_token_estimate
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_token_estimate("text").cast("long").alias("bpe_tokens")
+    )
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddsketch_ruby_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1410,6 +1452,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         min_cosine=0.3, n_planes=6, dim=64,
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine")),
     "dedup_clusters_documents": _q_dedup_clusters,
+    "dedup_collapse_documents": _q_dedup_collapse,
+    "bpe_token_documents": _q_bpe_tokens,
     "ngram_jaccard_exact": lambda spark, sf_dir: __import__(
         "ddsketch_ruby_spark.operators.dedup", fromlist=["ngram_jaccard_exact"]
     ).ngram_jaccard_exact(
@@ -2453,6 +2497,17 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 # registered after the main update: its oracle embeds the (already
 # registered) ngram_jaccard_exact SQL as the edge source
 ORACLES["dedup_clusters_documents"] = _dedup_clusters_oracle_sql()
+ORACLES["dedup_collapse_documents"] = _dedup_collapse_oracle_sql()
+from ddsketch_ruby_spark.functions.text import (  # noqa: E402
+    BPE_SPLIT_PATTERN as _BPE_PAT,
+)
+
+ORACLES["bpe_token_documents"] = f"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT)
+         AS bpe_tokens
+FROM documents
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:

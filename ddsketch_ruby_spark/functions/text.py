@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "token_count",
     "avg_token_len",
+    "bpe_token_estimate",
     "stopword_ratio",
     "uppercase_ratio",
     "digit_ratio",
@@ -21,6 +22,7 @@ __all__ = [
     "lang_id",
     "doc_fingerprint",
     "TOKEN_COUNT_SQL",
+    "BPE_SPLIT_PATTERN",
 ]
 
 # Single-space token model: tokens = spaces + 1 on trimmed text. Chosen
@@ -43,6 +45,27 @@ def avg_token_len(c: str) -> Column:
     n_spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
     return ((F.length(t) - n_spaces) / (n_spaces + F.lit(1))).alias(
         "avg_token_len"
+    )
+
+
+# GPT-style pre-tokenizer granularity: letter runs, SINGLE digits (the
+# modern digit-splitting convention), single punctuation/other marks;
+# ASCII whitespace delimits and is never a token. The alternatives match
+# disjoint character classes, so leftmost-first (Java) and RE2 (DuckDB)
+# count identically; backslash escapes are interpreted at the REGEX
+# level in both engines, so the same pattern string is portable.
+BPE_SPLIT_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\r\\n]"
+
+
+def bpe_token_estimate(c: str) -> Column:
+    """Vocabulary-free upper-bound estimate of a BPE tokenizer's token
+    count: every BPE merge only ever reduces the pre-tokenized piece
+    count, so counting pre-tokenizer pieces (letter runs / single digits
+    / single marks) bounds and tracks the true token count without
+    shipping a vocabulary to executors. Stays JVM-side (regexp_count,
+    whole-stage codegen); exact SQL twin in the driver oracle."""
+    return F.regexp_count(F.col(c), F.lit(BPE_SPLIT_PATTERN)).alias(
+        "bpe_tokens"
     )
 
 

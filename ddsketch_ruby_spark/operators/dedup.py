@@ -29,6 +29,7 @@ __all__ = [
     "cosine_near_dup_pairs",
     "cosine_pairs_exact",
     "dedup_clusters",
+    "collapse_near_dups",
     "simhash",
 ]
 
@@ -899,6 +900,32 @@ def _simhash_batch(texts: pd.Series | list, shingle: int) -> np.ndarray:
         majority = votes * 2 >= len(sh)
         out[i] = powers[majority].sum(dtype=np.uint64)
     return out.view(np.int64)
+
+
+def collapse_near_dups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL: given the corpus and a near-dup
+    pair set (from minhash_lsh_pairs / ngram_jaccard_pairs /
+    cosine_near_dup_pairs), keep exactly one canonical document per
+    duplicate cluster — the minimum id — plus every document that appears
+    in no pair. Returns df filtered to the canonical survivors, schema
+    unchanged.
+
+    Shape: cluster collapse (dedup_clusters: thin (id, label) shuffles)
+    then ONE left-anti join of the corpus against the non-canonical ids —
+    sized by the duplicate count, not the corpus, and keyed on the id, so
+    the corpus text moves at most once. No broadcast assumption: the
+    loser set scales with dup volume, so the anti-join is a plain
+    shuffled join (AQE may still broadcast it when small)."""
+    labels = dedup_clusters(pairs, max_iterations=max_iterations)
+    losers = labels.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
 
 
 def simhash(

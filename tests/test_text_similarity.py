@@ -533,3 +533,36 @@ def test_incremental_dedup_reuses_stored_signatures(spark, tmp_path):
     assert any(a >= 100 and b >= 102 for a, b in got), (
         "expected at least one old-new near-dup pair"
     )
+
+
+def test_collapse_near_dups_keeps_canonicals(spark, textdf):
+    """docs 1 and 4 are exact dups, 2 is a near-dup of both: one cluster
+    {1, 2, 4} -> canonical 1 survives; 3, 5, 6 are unpaired and survive;
+    schema is unchanged."""
+    from ddsketch_ruby_spark.operators.dedup import (
+        collapse_near_dups,
+        ngram_jaccard_exact,
+    )
+
+    pairs = ngram_jaccard_exact(textdf, "text", "doc_id", min_jaccard=0.5)
+    kept = collapse_near_dups(textdf, pairs, "doc_id")
+    assert kept.columns == textdf.columns
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 3, 5, 6}
+
+
+def test_bpe_token_estimate(spark):
+    from ddsketch_ruby_spark.functions.text import bpe_token_estimate
+
+    rows = [
+        (1, "Hello, world 42!"),   # Hello , world 4 2 !  -> 6
+        (2, "   "),                # whitespace only       -> 0
+        (3, "a-b c"),              # a - b c               -> 4
+        (4, "don't"),              # don ' t               -> 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in df.select("doc_id", bpe_token_estimate("text")).collect()
+    }
+    assert got == {1: 6, 2: 0, 3: 4, 4: 3}
