@@ -1195,6 +1195,45 @@ def _q_ddsketch_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming global exact dedup under the hard gate: the events table
+    streamed as three micro-batches through stream_exact_dedup (8-byte
+    hashed dedup state, streaming dropDuplicates, append mode) must emit
+    exactly the DISTINCT user_id set — each user's first arrival exactly
+    once, across micro-batch boundaries (state persists between
+    triggers). Output is a set, so the gate is order-insensitive and
+    partitioning-invariant."""
+    import tempfile
+    import uuid
+
+    from ddsketch_ruby_spark.streaming.sketch_stream import stream_exact_dedup
+
+    (events,) = _tables(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="stream_dedup_users_")
+    src_dir = f"{stage}/src"
+    for i in range(3):
+        events.filter(F.col("event_id") % 3 == i).select(
+            "user_id"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    deduped = stream_exact_dedup(stream, ["user_id"], hash_key=True)
+    qn = f"stream_dedup_users_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{stage}/ckpt")
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qn).select("user_id")
+
+
 def _q_ddsketch_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-enriched sketch: lineitem joined to part (explicitly
     broadcast — the small side never shuffles) then per-brand quantiles."""
@@ -1418,6 +1457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_cubic_offset_events": _q_ddsketch_cubic_offset,
     "ddsketch_daily_value": _q_ddsketch_daily,
     "ddsketch_stream_daily": _q_ddsketch_stream_daily,
+    "stream_dedup_users": _q_stream_dedup_users,
     "ddsketch_price_by_brand": _q_ddsketch_price_by_brand,
     "props_k_stats": _q_props_k_stats,
     "ddsketch_events_quantiles": _q_events_quantiles,
@@ -2331,6 +2371,7 @@ FROM events WHERE value > 0 GROUP BY bucket_key
             "value", "(SELECT CAST(ts AS DATE) AS day, value FROM events) AS t",
             ["day"], _QS,
         ),
+        "stream_dedup_users": "SELECT DISTINCT user_id FROM events",
         "ddsketch_price_by_brand": _ddsketch_oracle_sql(
             "l_extendedprice",
             "(SELECT l_extendedprice, p_brand FROM lineitem "
