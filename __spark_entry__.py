@@ -543,7 +543,7 @@ def _bound_checked(
     The check is partitioning-invariant by construction: any run whose
     estimate satisfies the guarantee produces the same booleans."""
     stack = ", ".join(
-        f"'{name}', CAST({q!r} AS DOUBLE), `{name}`" for name, q in qs.items()
+        f"'{name}', {_dlit(q)}, `{name}`" for name, q in qs.items()
     )
     long = est.select(
         *group_cols,
@@ -721,6 +721,35 @@ FROM fin
 """
 
 
+def _planted_recall(spark: SparkSession, emb: DataFrame, topk_fn) -> DataFrame:
+    """Shared harness for the planted-ground-truth recall gates: every
+    vector with vec_id % 97 == 0 queries the given top-k callable; a hit
+    is the planted vector itself at (rounded) cosine 1.0. Emits
+    (query_id, found). The .collect() pulls only the bounded query
+    workload (<= ~21 rows), never the corpus; an empty query set yields
+    an empty frame matching an empty oracle rather than erroring."""
+    qrows = (
+        emb.filter(F.col("vec_id") % 97 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    parts = [
+        topk_fn([float(x) for x in r["embedding"]]).select(
+            F.lit(int(r["vec_id"])).alias("query_id"), "vec_id", "sim"
+        )
+        for r in qrows
+    ]
+    if not parts:
+        return spark.createDataFrame([], "query_id long, found boolean")
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    hit = (F.col("vec_id") == F.col("query_id")) & (F.col("sim") == 1.0)
+    return un.groupBy("query_id").agg(
+        (F.max(hit.cast("int")) == 1).alias("found")
+    )
+
+
 def _q_ivf_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted-ground-truth recall gate for the APPROXIMATE IVF path
     (nprobe=2 of n_cells=8 — a genuinely truncated search, unlike the
@@ -742,30 +771,15 @@ def _q_ivf_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (emb,) = _tables(spark, sf_dir, "embeddings")
-    qrows = (
-        emb.filter(F.col("vec_id") % 97 == 0)
-        .select("vec_id", "embedding")
-        .collect()
-    )
     centroids = ivf_train(emb, "embedding", n_cells=8, seed=42)
     assigned = ivf_assign(emb, "embedding", centroids)
-    parts = []
-    for r in qrows:
-        probes = _probe_cells(centroids, r["embedding"], 2)
+
+    def topk(query_vec):
+        probes = _probe_cells(centroids, query_vec, 2)
         cand = assigned.filter(F.col("__cell").isin(probes))
-        top = cosine_topk(cand, "embedding", "vec_id", r["embedding"], k=5)
-        parts.append(
-            top.select(
-                F.lit(int(r["vec_id"])).alias("query_id"), "vec_id", "sim"
-            )
-        )
-    un = parts[0]
-    for p in parts[1:]:
-        un = un.unionByName(p)
-    hit = (F.col("vec_id") == F.col("query_id")) & (F.col("sim") == 1.0)
-    return un.groupBy("query_id").agg(
-        (F.max(hit.cast("int")) == 1).alias("found")
-    )
+        return cosine_topk(cand, "embedding", "vec_id", query_vec, k=5)
+
+    return _planted_recall(spark, emb, topk)
 
 
 def _q_lsh_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,34 +791,14 @@ def _q_lsh_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddsketch_ruby_spark.operators.similarity import lsh_topk
 
     (emb,) = _tables(spark, sf_dir, "embeddings")
-    qrows = (
-        emb.filter(F.col("vec_id") % 97 == 0)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    parts = []
-    for r in qrows:
-        top = lsh_topk(
-            emb,
-            "embedding",
-            "vec_id",
-            r["embedding"],
-            k=5,
-            n_planes=8,
+
+    def topk(query_vec):
+        return lsh_topk(
+            emb, "embedding", "vec_id", query_vec, k=5, n_planes=8,
             max_hamming=1,
         )
-        parts.append(
-            top.select(
-                F.lit(int(r["vec_id"])).alias("query_id"), "vec_id", "sim"
-            )
-        )
-    un = parts[0]
-    for p in parts[1:]:
-        un = un.unionByName(p)
-    hit = (F.col("vec_id") == F.col("query_id")) & (F.col("sim") == 1.0)
-    return un.groupBy("query_id").agg(
-        (F.max(hit.cast("int")) == 1).alias("found")
-    )
+
+    return _planted_recall(spark, emb, topk)
 
 
 def _q_cms_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1185,7 +1179,17 @@ def _q_ddsketch_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", f"{stage}/ckpt")
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "ddsketch_stream_daily stream did not drain within 300 s — "
+            "refusing to gate a partially-filled memory sink"
+        )
+    # the memory sink holds the emitted rows in the driver; the staged
+    # files and checkpoint are no longer needed — don't leak /tmp
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
     emitted = spark.table(qn).where(F.col("window_start") <= F.lit(last_ts))
     wide = assemble_histogram(emitted, spec, ["window_start"])
     stack = ", ".join(f"'{n}', round({n}, 6)" for n in _QS)
@@ -1230,7 +1234,15 @@ def _q_stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", f"{stage}/ckpt")
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_dedup_users stream did not drain within 300 s — "
+            "refusing to gate a partially-filled memory sink"
+        )
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
     return spark.table(qn).select("user_id")
 
 

@@ -690,6 +690,11 @@ def ngram_jaccard_exact(
     for arbitrary corpora; pass ``max_doc_freq=None`` to opt out on
     bounded inputs where the full universe is wanted (the uncapped join
     is quadratic in the hottest shingle's document frequency).
+    BEHAVIOR CHANGE NOTE: the default was ``None`` before round 3 —
+    results on corpora containing shingles with document frequency over
+    1000 differ from earlier releases unless ``max_doc_freq=None`` is
+    passed explicitly (values remain exact Jaccard over the capped
+    universe either way).
 
     The shingle explosion is referenced three times (two join sides +
     sizes); for repeated or large runs pass a cached DataFrame via

@@ -85,7 +85,7 @@ def run_child(cores: int) -> None:
     _job(spark, df.limit(2000))  # warm Python workers + Arrow paths
     best = float("inf")
     result = None
-    for _ in range(2):
+    for _ in range(int(os.environ.get("SCALING_RUNS", "2"))):
         t0 = time.monotonic()
         result = _job(spark, df)
         best = min(best, time.monotonic() - t0)
@@ -141,6 +141,9 @@ def main() -> None:
                 capture_output=True,
                 text=True,
                 check=True,
+                # one timed run per child: the interleaved outer passes
+                # supply the repetition
+                env={**os.environ, "SCALING_RUNS": "1"},
             )
             line = [
                 l for l in out.stdout.splitlines() if l.startswith("{")
