@@ -32,6 +32,7 @@ __all__ = [
     "set_image_decoder",
     "decode_images",
     "image_features",
+    "resize_images",
     "sample_frames",
     "audio_features",
 ]
@@ -144,6 +145,68 @@ def decode_images(
 
 # alias: feature extraction IS the decode in this stub environment
 image_features = decode_images
+
+
+def resize_images(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    target_w: int,
+    target_h: int,
+) -> DataFrame:
+    """(id, width, height, pixels) per image, resampled to a fixed
+    target size — the normalization step before batching images into a
+    training pipeline. Decode goes through the pluggable decoder
+    (set_image_decoder; FIMG container by default), the resample is real
+    area-mean math (split each target cell into the source pixels it
+    covers via integer bin edges — deterministic, no interpolation
+    library), and the output carries the raw grayscale bytes in
+    row-major order so downstream stages have a fixed-shape tensor.
+    Undecodable blobs yield NULL pixels (poison-pill tolerance)."""
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    schema = T.StructType(
+        [
+            id_field,
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixels", T.BinaryType()),
+        ]
+    )
+
+    def _resize(px: np.ndarray, w: int, h: int) -> np.ndarray:
+        img = px.reshape(h, w).astype(np.float64)
+        ye = np.linspace(0, h, target_h + 1).astype(np.int64)
+        xe = np.linspace(0, w, target_w + 1).astype(np.int64)
+        # area mean per target cell: two add.reduceat passes (rows, cols)
+        rows = np.add.reduceat(img, ye[:-1], axis=0)
+        cols = np.add.reduceat(rows, xe[:-1], axis=1)
+        counts = np.outer(np.diff(ye), np.diff(xe))
+        counts = np.maximum(counts, 1)
+        return np.clip(cols / counts, 0, 255).astype(np.uint8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {
+                id_col: pdf[id_col].values,
+                "width": [],
+                "height": [],
+                "pixels": [],
+            }
+            for blob in pdf[binary_col]:
+                try:
+                    w, h, px = _decoder(bytes(blob))
+                    out["width"].append(target_w)
+                    out["height"].append(target_h)
+                    out["pixels"].append(_resize(px, w, h).tobytes())
+                except (NotImplementedError, ValueError, struct.error):
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["pixels"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=schema)
 
 
 def sample_frames(

@@ -84,3 +84,37 @@ def test_audio_features(spark, media):
     assert 7000 < a["rms"] < 9000  # sigma=8000 gaussian
     assert 0.3 < a["zero_crossing_rate"] < 0.7
     assert out[21]["sample_rate"] is None  # junk tolerated
+
+
+def test_resize_images_area_mean(spark):
+    """Downsample = exact area mean over integer cell edges; garbage
+    blobs yield NULL pixels; output tensors have the fixed target shape."""
+    import numpy as np
+
+    from ddsketch_ruby_spark.functions.multimodal import (
+        resize_images,
+        synth_image,
+    )
+
+    blob = synth_image(20, 10, seed=7)
+    rows = [(1, blob), (2, b"not an image"), (3, synth_image(2, 2, seed=1))]
+    df = spark.createDataFrame(rows, "img_id long, data binary")
+    got = {
+        r["img_id"]: r
+        for r in resize_images(df, "data", "img_id", 4, 4).collect()
+    }
+    # reference area mean for the 20x10 -> 4x4 case
+    px = np.frombuffer(blob[12:], dtype=np.uint8).reshape(10, 20).astype(float)
+    ye = np.linspace(0, 10, 5).astype(int)
+    xe = np.linspace(0, 20, 5).astype(int)
+    ref = np.empty((4, 4))
+    for i in range(4):
+        for j in range(4):
+            ref[i, j] = px[ye[i]:ye[i+1], xe[j]:xe[j+1]].mean()
+    ref = np.clip(ref, 0, 255).astype(np.uint8)
+    out = np.frombuffer(bytes(got[1]["pixels"]), dtype=np.uint8).reshape(4, 4)
+    assert np.array_equal(out, ref)
+    assert (got[1]["width"], got[1]["height"]) == (4, 4)
+    assert got[2]["pixels"] is None and got[2]["width"] is None
+    # upsampling a 2x2 image still yields a full 4x4 tensor
+    assert len(bytes(got[3]["pixels"])) == 16
