@@ -479,14 +479,22 @@ def ngram_jaccard_pairs(
     num_hashes: int = 128,
     bands: int = 32,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs, LSH-pruned.
 
     Candidate generation via banded MinHash (cheap, high recall at the
-    threshold), then exact verification: re-shingle both texts of each
-    candidate pair and compute |A∩B|/|A∪B| precisely. The expensive exact
-    step touches only candidate pairs, never the n^2 cross product — the
-    scalable shape of exact-threshold dedup.
+    threshold), then exact verification on precomputed shingle sets. The
+    expensive exact step touches only candidate pairs, never the n^2
+    cross product — the scalable shape of exact-threshold dedup.
+
+    ``max_bucket_size`` forwards to the LSH candidate stage and is the
+    dominant cost knob on boilerplate-heavy corpora: measured on a
+    250k-doc synthetic web corpus, candidate generation took 286 s at
+    the default cap of 1000 vs 7.4 s at cap 50 (the self-join grows with
+    the hottest bucket's size squared). Capped-away buckets are
+    near-certain duplicate clusters — collapse them via exact_dedup /
+    doc_fingerprint instead of pairing them here.
     """
     candidates = minhash_lsh_pairs(
         df,
@@ -497,10 +505,23 @@ def ngram_jaccard_pairs(
         shingle=shingle,
         seed=seed,
         min_jaccard=max(0.0, min_jaccard - 0.2),  # slack for estimator noise
+        max_bucket_size=max_bucket_size,
     )
-    # shingle each document ONCE into its sorted distinct-hash set (a doc
-    # in p candidate pairs used to be re-shingled p times), then join the
-    # two sets onto each candidate pair
+    # shingle each candidate document ONCE into its sorted distinct-hash
+    # set (a doc in p candidate pairs used to be re-shingled p times),
+    # then join the two sets onto each candidate pair. Two plan
+    # decisions, both measured on a 250k-doc web corpus:
+    # - only docs that APPEAR in a candidate pair are shingled (semi-join
+    #   on the candidate id set) — at low candidate density this skips
+    #   most of the corpus;
+    # - the set computation is localCheckpoint'ed lazily so the two join
+    #   sides share ONE shingling pass instead of re-executing it each.
+    candidates = candidates.localCheckpoint(eager=False)
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
     set_schema = T.StructType(
         [
             next(f for f in df.schema.fields if f.name == id_col),
@@ -519,8 +540,11 @@ def ngram_jaccard_pairs(
             )
             yield pd.DataFrame({id_col: pdf[id_col].values, "__sh": splits})
 
-    shingle_sets = df.select(id_col, text_col).mapInPandas(
-        sets, schema=set_schema
+    shingle_sets = (
+        df.select(id_col, text_col)
+        .join(cand_ids, id_col, "left_semi")
+        .mapInPandas(sets, schema=set_schema)
+        .localCheckpoint(eager=False)
     )
     pairs = (
         candidates.join(
@@ -537,10 +561,13 @@ def ngram_jaccard_pairs(
         )
         .select("id_a", "id_b", "__sa", "__sb")
     )
+    # pair ids inherit the input id type — a string id (e.g. a url)
+    # must survive the verify stage unchanged
+    id_type = next(f for f in df.schema.fields if f.name == id_col).dataType
     schema = T.StructType(
         [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
             T.StructField("jaccard", T.DoubleType()),
         ]
     )

@@ -120,3 +120,57 @@ def test_float_max_min_stats():
     assert s.min == sys.float_info.min
     assert s.max == sys.float_info.max / 2
     assert math.isfinite(s.sum)
+
+
+def test_dedup_family_poison_pill_corpus(spark):
+    """Web-crawl poison pills — NULL text, empty text, whitespace,
+    sub-shingle-length, a 1 MB document, astral-plane unicode — must flow
+    through every text-dedup operator without error and with sane
+    outputs (the family's padding rule maps degenerate docs to the
+    padded-window set instead of crashing)."""
+    from ddsketch_ruby_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingle_hash_rows,
+        simhash,
+    )
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "ab"),                      # shorter than the shingle width
+        (5, "x" * 1_000_000),           # 1 MB single document
+        (6, "emoji \U0001F600\U0001F680 mixed é中文 text"),
+        (7, "a normal document about distributed sketches"),
+        (8, "a normal document about distributed sketches"),  # exact dup of 7
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {r["doc_id"]: list(r["sig"]) for r in
+            minhash_signatures(df, "text", "doc_id", 32).collect()}
+    assert set(sigs) == {1, 2, 3, 4, 5, 6, 7, 8}
+    assert sigs[1] == sigs[2]  # None and "" both pad to the same window
+    assert sigs[7] == sigs[8]
+    assert all(len(s) == 32 for s in sigs.values())
+
+    fps = {r["doc_id"]: r["simhash"] for r in
+           simhash(df, "text", "doc_id").collect()}
+    assert set(fps) == set(sigs) and fps[7] == fps[8]
+
+    sh = shingle_hash_rows(df, "text", "doc_id", shingle=5)
+    per_doc = {r["doc_id"]: r["n"] for r in
+               sh.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    assert per_doc[1] == 1 and per_doc[5] == 1  # constant docs: 1 distinct shingle
+    assert per_doc[7] > 10
+
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(
+        df, "text", "doc_id", num_hashes=32, bands=8, min_jaccard=0.9
+    ).collect()}
+    assert (7, 8) in pairs and (1, 2) in pairs
+
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(
+        df, "text", "doc_id", min_jaccard=0.99, num_hashes=32, bands=8
+    ).collect()}
+    assert exact[(7, 8)] == 1.0

@@ -566,3 +566,24 @@ def test_bpe_token_estimate(spark):
         for r in df.select("doc_id", bpe_token_estimate("text")).collect()
     }
     assert got == {1: 6, 2: 0, 3: 4, 4: 3}
+
+
+def test_ngram_jaccard_pairs_string_ids(spark):
+    """Pair ids must inherit the input id type: a url-keyed corpus (the
+    production shape) flows through the exact-verify stage unchanged.
+    Regression: the verify schema used to hardcode LongType and failed
+    Arrow conversion on string ids."""
+    from ddsketch_ruby_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        ("http://a.example/1", "the quick brown fox jumps over the lazy dog"),
+        ("http://a.example/2", "the quick brown fox jumps over the lazy dog"),
+        ("http://b.example/3", "completely different content about sketches"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = ngram_jaccard_pairs(
+        df, "text", "url", min_jaccard=0.9, num_hashes=32, bands=8
+    ).collect()
+    assert {(r["id_a"], r["id_b"], r["jaccard"]) for r in got} == {
+        ("http://a.example/1", "http://a.example/2", 1.0)
+    }
