@@ -828,12 +828,13 @@ def _release_checkpoint(df: DataFrame) -> None:
 
 def dedup_clusters(
     pairs: DataFrame,
-    id_type: str = "long",
     max_iterations: int = 20,
 ) -> DataFrame:
     """Collapse near-dup pairs (id_a, id_b) into clusters: returns
     (id, cluster_id) with cluster_id = min id reachable through the pair
-    graph — the canonical-document assignment for near-dup removal.
+    graph — the canonical-document assignment for near-dup removal. The
+    id type is inherited from the pair columns (long and string ids both
+    work; "min" is the respective type's ordering).
 
     Algorithm: iterative min-label propagation — each node adopts the
     smallest label among itself and its neighbors; the min id travels one

@@ -587,3 +587,29 @@ def test_ngram_jaccard_pairs_string_ids(spark):
     assert {(r["id_a"], r["id_b"], r["jaccard"]) for r in got} == {
         ("http://a.example/1", "http://a.example/2", 1.0)
     }
+
+
+def test_cluster_collapse_string_ids(spark):
+    """dedup_clusters and collapse_near_dups inherit the id type: a
+    url-keyed pair graph collapses with lexicographic-min canonicals."""
+    from ddsketch_ruby_spark.operators.dedup import (
+        collapse_near_dups,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [("u/b", "u/c"), ("u/c", "u/d"), ("u/x", "u/y")],
+        "id_a string, id_b string",
+    )
+    labels = {
+        r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert labels == {
+        "u/b": "u/b", "u/c": "u/b", "u/d": "u/b", "u/x": "u/x", "u/y": "u/x"
+    }
+    corpus = spark.createDataFrame(
+        [(u, f"text {u}") for u in ["u/a", "u/b", "u/c", "u/d", "u/x", "u/y"]],
+        "url string, text string",
+    )
+    kept = {r["url"] for r in collapse_near_dups(corpus, pairs, "url").collect()}
+    assert kept == {"u/a", "u/b", "u/x"}
