@@ -30,6 +30,7 @@ __all__ = [
     "cosine_pairs_exact",
     "dedup_clusters",
     "collapse_near_dups",
+    "dedup_corpus",
     "simhash",
 ]
 
@@ -959,6 +960,71 @@ def collapse_near_dups(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_jaccard: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle: int = 5,
+    seed: int = 42,
+    max_bucket_size: int | None = 50,
+    exact_hash_bits: int = 64,
+    min_length: int | None = None,
+) -> DataFrame:
+    """ONE-CALL corpus cleaner — the canonical web-scale dedup recipe as
+    a named operator:
+
+    1. optional length floor (``min_length``: drop micro-docs),
+    2. EXACT dedup on the hashed text (8/16-byte shuffle keys,
+       ``exact_hash_bits``; keeps the min id per identical text),
+    3. exact-verified near-dup collapse: banded-MinHash candidates with
+       a TIGHT bucket cap (default 50 — capped buckets are boilerplate
+       mega-clusters whose members were already collapsed by step 2 when
+       identical, and pairing them is the quadratic trap; see
+       BENCH/dedup_scaling.md), exact n-gram Jaccard verification at
+       ``min_jaccard``, min-label cluster collapse, one anti-join.
+
+    Returns the surviving rows of ``df`` (schema unchanged): one
+    canonical document per exact/near-dup cluster plus everything
+    unpaired. Each stage shuffles thin keyed rows; the full text moves
+    only in the exact-dedup grouping and the final anti-joins."""
+    src = df
+    if min_length is not None:
+        src = src.filter(F.length(text_col) >= min_length)
+    # exact stage: min id per identical text, via hashed keys
+    if exact_hash_bits == 128:
+        key = [
+            F.xxhash64(text_col).alias("__k1"),
+            F.xxhash64(F.lit(1), text_col).alias("__k2"),
+        ]
+    elif exact_hash_bits == 64:
+        key = [F.xxhash64(text_col).alias("__k1")]
+    else:
+        raise ValueError("exact_hash_bits must be 64 or 128")
+    group_cols = ["__k1"] + (["__k2"] if exact_hash_bits == 128 else [])
+    winners = (
+        src.select(*key, id_col)
+        .groupBy(*group_cols)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    exact_kept = src.join(winners, id_col, "left_semi")
+    pairs = ngram_jaccard_pairs(
+        exact_kept,
+        text_col,
+        id_col,
+        shingle=shingle,
+        min_jaccard=min_jaccard,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+    )
+    return collapse_near_dups(exact_kept, pairs, id_col)
 
 
 def simhash(

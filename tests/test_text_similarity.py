@@ -613,3 +613,31 @@ def test_cluster_collapse_string_ids(spark):
     )
     kept = {r["url"] for r in collapse_near_dups(corpus, pairs, "url").collect()}
     assert kept == {"u/a", "u/b", "u/x"}
+
+
+def test_dedup_corpus_one_call(spark):
+    """The one-call cleaner: micro-doc floor, exact collapse, near-dup
+    collapse — min-id canonical per cluster, schema unchanged."""
+    from ddsketch_ruby_spark.operators.dedup import dedup_corpus
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different content about spark sketches"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "tiny"),                                         # under the floor
+        (6, "der hund und die katze das ist gut und der baum"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = dedup_corpus(
+        df, "text", "doc_id", min_jaccard=0.5, num_hashes=64, bands=16,
+        min_length=10,
+    )
+    assert kept.columns == df.columns
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 6}
+    # 128-bit key path yields the same survivors
+    kept128 = dedup_corpus(
+        df, "text", "doc_id", min_jaccard=0.5, num_hashes=64, bands=16,
+        min_length=10, exact_hash_bits=128,
+    )
+    assert {r["doc_id"] for r in kept128.collect()} == {1, 3, 6}
