@@ -170,7 +170,8 @@ identical input, two parallelism levels, clean JVM per level, best of
   ({results[hi]['candidate_pairs']} pairs — partition-invariant output)
 
 Reproduce: `python scripts/dedup_scaling_bench.py` (env DEDUP_ROWS,
-SCALING_CORES).
+SCALING_CORES). Kernel-level before/after measurements:
+BENCH/kernel_vectorization.md.
 """
         )
     print(f"wrote {md}")
