@@ -985,7 +985,7 @@ def dedup_corpus(
        a TIGHT bucket cap (default 50 — capped buckets are boilerplate
        mega-clusters whose members were already collapsed by step 2 when
        identical, and pairing them is the quadratic trap; see
-       BENCH/dedup_scaling.md), exact n-gram Jaccard verification at
+       BENCH/kernel_vectorization.md), exact n-gram Jaccard verification at
        ``min_jaccard``, min-label cluster collapse, one anti-join.
 
     Returns the surviving rows of ``df`` (schema unchanged): one
