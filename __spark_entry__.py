@@ -52,6 +52,29 @@ def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [table(spark, sf_dir, n) for n in names]
 
 
+# FileStreamSource orders discovered files by modification time (oldest
+# first under the default latestFirst=false), so the streaming gates that
+# rely on "this file is the LAST micro-batch" (watermark-advancing
+# sentinels) must not trust write-completion timing. This base is a fixed
+# epoch far in the past; each staged batch's part files get mtime
+# base + batch_index, making the micro-batch order an explicit invariant.
+_MTIME_LADDER_BASE = 1_000_000_000.0  # 2001-09-09, far below any real mtime
+
+
+def _stamp_new_parquet_mtimes(src_dir: str, batch_index: int) -> None:
+    """Pin every not-yet-stamped parquet part file in ``src_dir`` to the
+    ladder slot ``batch_index``. Files already stamped by an earlier call
+    (mtime near the ladder base) are left untouched, so successive calls
+    build a strictly increasing order regardless of filesystem timing."""
+    import glob
+    import os
+
+    for p in glob.glob(f"{src_dir}/*.parquet"):
+        if os.path.getmtime(p) > _MTIME_LADDER_BASE + 1e6:  # unstamped
+            ts = _MTIME_LADDER_BASE + batch_index
+            os.utime(p, (ts, ts))
+
+
 def _ddsketch_oracle_sql(
     value_expr: str,
     table: str,
@@ -1127,7 +1150,12 @@ def _q_ddsketch_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the batch pipeline and is gated against the SAME
     DuckDB oracle. A far-future sentinel row (filtered back out below)
     pushes the watermark past the last real day so append mode emits every
-    window under the availableNow trigger."""
+    window under the availableNow trigger. The sentinel MUST land in the
+    LAST micro-batch — were it processed first, the watermark would jump
+    +30 days and every real row would be dropped as late — so the staged
+    files' modification times (FileStreamSource's ordering key) are set
+    EXPLICITLY to an increasing ladder with the sentinel strictly last,
+    instead of trusting write-completion timing."""
     import tempfile
     import uuid
 
@@ -1138,58 +1166,64 @@ def _q_ddsketch_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _tables(spark, sf_dir, "events")
     stage = tempfile.mkdtemp(prefix="ddsk_stream_daily_")
     src_dir = f"{stage}/src"
-    # two data files -> two micro-batches (maxFilesPerTrigger=1), so the
-    # stateful operator genuinely folds across triggers; sentinel last
-    for i in range(2):
-        events.filter(F.col("event_id") % 2 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src_dir)
-    last_ts = events.agg(F.max("ts")).collect()[0][0]
-    events.agg(F.max("ts").alias("__mx")).select(
-        F.lit(10**9).cast("long").alias("event_id"),
-        (F.col("__mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
-        F.lit(0).cast("long").alias("user_id"),
-        F.lit("sentinel").alias("event_type"),
-        F.lit(1.0).alias("value"),
-        F.lit("{}").alias("props"),
-    ).coalesce(1).write.mode("append").parquet(src_dir)
+    try:
+        # two data files -> two micro-batches (maxFilesPerTrigger=1), so
+        # the stateful operator genuinely folds across triggers; sentinel
+        # last (mtime ladder below makes the ordering explicit)
+        for i in range(2):
+            events.filter(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src_dir)
+            _stamp_new_parquet_mtimes(src_dir, batch_index=i)
+        last_ts = events.agg(F.max("ts")).collect()[0][0]
+        events.agg(F.max("ts").alias("__mx")).select(
+            F.lit(10**9).cast("long").alias("event_id"),
+            (F.col("__mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit(0).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        _stamp_new_parquet_mtimes(src_dir, batch_index=2)
 
-    stream = (
-        spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    spec = DDSketchSpec(
-        include_stats=False, value_formula="pow", quantiles=_QS
-    )
-    hist = sketch_stream_hist(
-        stream.filter(F.col("value") > 0).select("ts", "value"),
-        spec,
-        "value",
-        "ts",
-        window="1 day",
-        watermark="0 seconds",
-    )
-    qn = f"ddsk_stream_daily_{uuid.uuid4().hex[:8]}"
-    q = (
-        hist.writeStream.format("memory")
-        .queryName(qn)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{stage}/ckpt")
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "ddsketch_stream_daily stream did not drain within 300 s — "
-            "refusing to gate a partially-filled memory sink"
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
         )
-    # the memory sink holds the emitted rows in the driver; the staged
-    # files and checkpoint are no longer needed — don't leak /tmp
-    import shutil
+        spec = DDSketchSpec(
+            include_stats=False, value_formula="pow", quantiles=_QS
+        )
+        hist = sketch_stream_hist(
+            stream.filter(F.col("value") > 0).select("ts", "value"),
+            spec,
+            "value",
+            "ts",
+            window="1 day",
+            watermark="0 seconds",
+        )
+        qn = f"ddsk_stream_daily_{uuid.uuid4().hex[:8]}"
+        q = (
+            hist.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{stage}/ckpt")
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "ddsketch_stream_daily stream did not drain within 300 s — "
+                "refusing to gate a partially-filled memory sink"
+            )
+    finally:
+        # the memory sink holds the emitted rows in the driver; the staged
+        # files and checkpoint are no longer needed — don't leak /tmp even
+        # when the drain times out or a write fails
+        import shutil
 
-    shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
     emitted = spark.table(qn).where(F.col("window_start") <= F.lit(last_ts))
     wide = assemble_histogram(emitted, spec, ["window_start"])
     stack = ", ".join(f"'{n}', round({n}, 6)" for n in _QS)
@@ -1215,34 +1249,36 @@ def _q_stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _tables(spark, sf_dir, "events")
     stage = tempfile.mkdtemp(prefix="stream_dedup_users_")
     src_dir = f"{stage}/src"
-    for i in range(3):
-        events.filter(F.col("event_id") % 3 == i).select(
-            "user_id"
-        ).coalesce(1).write.mode("append").parquet(src_dir)
-    stream = (
-        spark.readStream.schema("user_id long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    deduped = stream_exact_dedup(stream, ["user_id"], hash_key=True)
-    qn = f"stream_dedup_users_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(qn)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{stage}/ckpt")
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "stream_dedup_users stream did not drain within 300 s — "
-            "refusing to gate a partially-filled memory sink"
+    try:
+        for i in range(3):
+            events.filter(F.col("event_id") % 3 == i).select(
+                "user_id"
+            ).coalesce(1).write.mode("append").parquet(src_dir)
+        stream = (
+            spark.readStream.schema("user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
         )
-    import shutil
+        deduped = stream_exact_dedup(stream, ["user_id"], hash_key=True)
+        qn = f"stream_dedup_users_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{stage}/ckpt")
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_dedup_users stream did not drain within 300 s — "
+                "refusing to gate a partially-filled memory sink"
+            )
+    finally:
+        import shutil
 
-    shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
     return spark.table(qn).select("user_id")
 
 

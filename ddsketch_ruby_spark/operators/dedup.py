@@ -688,6 +688,10 @@ def shingle_hash_rows(
     return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
 
 
+_MAX_DOC_FREQ_DEFAULT = 1000
+_MAX_DOC_FREQ_SENTINEL = object()
+
+
 def ngram_jaccard_exact(
     df: DataFrame,
     text_col: str,
@@ -696,7 +700,7 @@ def ngram_jaccard_exact(
     shingle: int = 5,
     round_to: int = 6,
     shingle_rows: DataFrame | None = None,
-    max_doc_freq: int | None = 1000,
+    max_doc_freq: int | None = _MAX_DOC_FREQ_SENTINEL,  # type: ignore[assignment]
     broadcast_cap: bool = True,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs via the relational algorithm: explode
@@ -722,12 +726,35 @@ def ngram_jaccard_exact(
     results on corpora containing shingles with document frequency over
     1000 differ from earlier releases unless ``max_doc_freq=None`` is
     passed explicitly (values remain exact Jaccard over the capped
-    universe either way).
+    universe either way). When the cap is DEFAULTED (not passed) a
+    ``FutureWarning`` is emitted at plan time so upgrading callers find
+    out loudly instead of from silently different Jaccard values;
+    explicitly passing ``max_doc_freq`` (any value, including ``None``
+    or 1000) opts out of the warning. The warning is plan-time rather
+    than data-dependent by design: whether the cap fires depends on the
+    corpus, and materializing the hot-shingle count just to decide
+    whether to warn would add a full shuffle to every call.
 
     The shingle explosion is referenced three times (two join sides +
     sizes); for repeated or large runs pass a cached DataFrame via
     ``shingle_rows`` (from shingle_hash_rows) and manage its lifecycle —
     no hidden persist() is taken here, so one-shot calls leak nothing."""
+    if max_doc_freq is _MAX_DOC_FREQ_SENTINEL:
+        import warnings
+
+        warnings.warn(
+            "ngram_jaccard_exact now caps hot shingles at max_doc_freq="
+            f"{_MAX_DOC_FREQ_DEFAULT} by default (was uncapped before "
+            "round 3); corpora with shingles above that document "
+            "frequency yield different Jaccard values than earlier "
+            "releases. Pass max_doc_freq explicitly (e.g. "
+            f"max_doc_freq={_MAX_DOC_FREQ_DEFAULT} to keep the cap, "
+            "max_doc_freq=None for the old uncapped behavior) to "
+            "silence this warning.",
+            FutureWarning,
+            stacklevel=2,
+        )
+        max_doc_freq = _MAX_DOC_FREQ_DEFAULT
     rows = (
         shingle_rows
         if shingle_rows is not None
@@ -829,6 +856,7 @@ def _release_checkpoint(df: DataFrame) -> None:
 
 def dedup_clusters(
     pairs: DataFrame,
+    *,
     max_iterations: int = 20,
 ) -> DataFrame:
     """Collapse near-dup pairs (id_a, id_b) into clusters: returns
@@ -836,6 +864,12 @@ def dedup_clusters(
     graph — the canonical-document assignment for near-dup removal. The
     id type is inherited from the pair columns (long and string ids both
     work; "min" is the respective type's ordering).
+
+    ``max_iterations`` is keyword-only: earlier releases took an
+    ``id_type`` positional parameter in that slot, so a stale positional
+    call now fails immediately with a TypeError at the call site instead
+    of feeding a string into the iteration budget and dying deep inside
+    Spark.
 
     Algorithm: iterative min-label propagation — each node adopts the
     smallest label among itself and its neighbors; the min id travels one
@@ -972,7 +1006,7 @@ def dedup_corpus(
     shingle: int = 5,
     seed: int = 42,
     max_bucket_size: int | None = 50,
-    exact_hash_bits: int = 64,
+    exact_hash_bits: int = 128,
     min_length: int | None = None,
 ) -> DataFrame:
     """ONE-CALL corpus cleaner — the canonical web-scale dedup recipe as
@@ -980,7 +1014,14 @@ def dedup_corpus(
 
     1. optional length floor (``min_length``: drop micro-docs),
     2. EXACT dedup on the hashed text (8/16-byte shuffle keys,
-       ``exact_hash_bits``; keeps the min id per identical text),
+       ``exact_hash_bits``; keeps the min id per identical text) —
+       the DEFAULT is 128 bits (two independent xxhash64 seeds): at the
+       10^12-doc ambition a single 64-bit key has ~2^23 expected
+       birthday collisions, each silently dropping a NON-duplicate
+       document, while 128 bits keeps the expected count below 10^-14
+       (collision math in SCALE.md); pass ``exact_hash_bits=64`` to
+       halve the key bytes on corpora small enough (<~10^8 docs) that
+       the 64-bit collision budget is acceptable,
     3. exact-verified near-dup collapse: banded-MinHash candidates with
        a TIGHT bucket cap (default 50 — capped buckets are boilerplate
        mega-clusters whose members were already collapsed by step 2 when
