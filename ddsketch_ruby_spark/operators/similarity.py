@@ -9,7 +9,8 @@
   multi-probe: candidates restricted to matching buckets, then exact
   rerank. At 100 TB the bucket column is precomputed/partitioned-by so a
   query touches only matching partitions (partition pruning), turning a
-  full-corpus scan into a bucket lookup.
+  full-corpus scan into a bucket lookup — that persisted shape is
+  lsh_write_index / lsh_topk_indexed below.
 - ivf_topk: IVF-style coarse quantizer — k-means centroids (k-means++ init,
   several Lloyd iterations, empty-cell reseeding) trained on a driver-side
   sample — + nprobe nearest cells, exact rerank within cells.
@@ -33,6 +34,8 @@ __all__ = [
     "cosine_topk",
     "lsh_bucket",
     "lsh_topk",
+    "lsh_write_index",
+    "lsh_topk_indexed",
     "ivf_train",
     "ivf_assign",
     "ivf_topk",
@@ -114,6 +117,24 @@ def lsh_bucket(
     return df.withColumn("lsh_bucket", bucket)
 
 
+def _lsh_probes(
+    planes: np.ndarray, query: Sequence[float], max_hamming: int
+) -> list[int]:
+    """Multi-probe bucket set for a query: its own sign bucket plus every
+    bucket within ``max_hamming`` flipped plane bits."""
+    n_planes = len(planes)
+    qsigns = (planes @ np.asarray(query, dtype=np.float64)) > 0
+    qbucket = int(sum(1 << i for i, s in enumerate(qsigns) if s))
+    probes = {qbucket}
+    if max_hamming >= 1:
+        probes |= {qbucket ^ (1 << i) for i in range(n_planes)}
+    if max_hamming >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qbucket ^ (1 << i) ^ (1 << j))
+    return sorted(probes)
+
+
 def lsh_topk(
     df: DataFrame,
     vec_col: str,
@@ -127,21 +148,84 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: only rows whose hyperplane sign-bucket is within
     ``max_hamming`` bits of the query's bucket are scored (multi-probe
-    LSH). Recall measured in tests vs cosine_topk."""
+    LSH). Recall measured in tests vs cosine_topk. Recomputes the bucket
+    column over the corpus per call — for repeated queries build a
+    persisted index once (lsh_write_index) and query it partition-pruned
+    (lsh_topk_indexed)."""
     dim = len(query)
     planes = _hyperplanes(dim, n_planes, seed)
-    qsigns = (planes @ np.asarray(query, dtype=np.float64)) > 0
-    qbucket = int(sum(1 << i for i, s in enumerate(qsigns) if s))
-    probes = {qbucket}
-    if max_hamming >= 1:
-        probes |= {qbucket ^ (1 << i) for i in range(n_planes)}
-    if max_hamming >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                probes.add(qbucket ^ (1 << i) ^ (1 << j))
+    probes = _lsh_probes(planes, query, max_hamming)
     bucketed = lsh_bucket(df, vec_col, dim, n_planes, seed)
-    cand = bucketed.filter(F.col("lsh_bucket").isin(list(probes)))
+    cand = bucketed.filter(F.col("lsh_bucket").isin(probes))
     return cosine_topk(cand, vec_col, id_col, query, k, round_to)
+
+
+def lsh_write_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Persist a hyperplane-LSH index: the corpus parquet PARTITIONED BY
+    the sign bucket, with the plane parameters stored alongside
+    (planes.json) so queries recompute nothing. Build once; every query
+    then reads only its probe buckets via partition pruning — the module
+    docstring's 100 TB shape, mirroring ivf_write_index/ivf_topk_indexed.
+
+    ``n_planes`` is also the partition fan-out (2^n_planes directories):
+    8 planes -> 256 partitions. At larger plane counts partition the
+    layout by a bucket PREFIX instead (e.g. ``F.shiftright("lsh_bucket",
+    n_planes - 10)``) so the directory count stays bounded while queries
+    still prune to probe-prefix partitions; the full bucket column
+    remains in the data for the in-partition filter. Returns the planes
+    matrix."""
+    if n_planes > 12:
+        raise ValueError(
+            "n_planes > 12 would create 2^n_planes partition directories; "
+            "partition by a bucket prefix instead (see docstring)"
+        )
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucketed = lsh_bucket(df, vec_col, dim, n_planes, seed)
+    bucketed.write.partitionBy("lsh_bucket").mode("overwrite").parquet(
+        f"{path}/corpus"
+    )
+    meta = {
+        "planes": planes.tolist(),
+        "vec_col": vec_col,
+        "dim": dim,
+        "n_planes": n_planes,
+        "seed": seed,
+    }
+    spark = df.sparkSession
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{path}/planes.json")
+    return planes
+
+
+def lsh_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    max_hamming: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Query a persisted LSH index: the probe-bucket filter is on a
+    PARTITION column, so Spark prunes all non-probed buckets at planning
+    time (verify with .explain -> 'PartitionFilters: [lsh_bucket IN ...]');
+    with max_hamming=1 over n_planes=8 a query reads 9/256 of the corpus
+    instead of scanning it."""
+    raw = spark.read.text(f"{path}/planes.json").collect()
+    meta = json.loads(raw[0].value)
+    planes = np.asarray(meta["planes"], dtype=np.float64)
+    probes = _lsh_probes(planes, query, max_hamming)
+    corpus = spark.read.parquet(f"{path}/corpus")
+    cand = corpus.filter(F.col("lsh_bucket").isin(probes))
+    return cosine_topk(cand, meta["vec_col"], id_col, query, k, round_to)
 
 
 def ivf_train(

@@ -52,6 +52,17 @@ def main() -> int:
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    # gate-completeness self-check: every oracle targets a registered
+    # query, and the driver's observed 50-row recording window is printed
+    # so a future truncation is attributable instead of mysterious
+    stray = sorted(set(oracles) - set(queries))
+    assert not stray, f"oracle_sql() keys without queries() entries: {stray}"
+    names = list(queries)
+    w = getattr(entry, "DRIVER_GATE_WINDOW", len(names))
+    print(
+        f"{len(names)} queries registered; driver records the first {w}; "
+        f"tail (replayed here, outside the driver window): {names[w:]}"
+    )
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:

@@ -1,0 +1,138 @@
+"""Persisted hyperplane-LSH index (lsh_write_index / lsh_topk_indexed):
+partition pruning at the scan, parity with the on-the-fly lsh_topk path,
+and metadata round-trip — the LSH twin of the IVF index tests in
+test_text_similarity.py. Also pins the round-4 API hardening: the
+ngram_jaccard_exact defaulted-cap FutureWarning and dedup_clusters'
+keyword-only iteration budget."""
+
+import warnings
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted_idx(spark, tmp_path_factory):
+    """200 random vectors + 8 planted near-dups of a query, written once
+    as an LSH index."""
+    from ddsketch_ruby_spark.operators.similarity import lsh_write_index
+
+    rng = np.random.default_rng(7)
+    dim = 32
+    query = rng.standard_normal(dim)
+    rows = [(int(i), rng.standard_normal(dim).tolist()) for i in range(200)]
+    rows += [
+        (int(1000 + j), (query + 0.15 * rng.standard_normal(dim)).tolist())
+        for j in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path_factory.mktemp("lshidx") / "idx")
+    planes = lsh_write_index(df, path, "embedding", dim=dim, n_planes=8)
+    return df, query.tolist(), rows, path, planes
+
+
+def test_lsh_index_partition_pruning(spark, planted_idx):
+    """The probe filter must be a PARTITION filter (pruned at planning,
+    not a post-scan filter) — the read-volume lever the module docstring
+    promises at 100 TB."""
+    from ddsketch_ruby_spark.operators.similarity import lsh_topk_indexed
+
+    df, query, rows, path, planes = planted_idx
+    res = lsh_topk_indexed(spark, path, "vec_id", query, k=8, max_hamming=1)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [lsh_bucket" in plan, plan
+    corpus = spark.read.parquet(f"{path}/corpus")
+    n_buckets_on_disk = corpus.select("lsh_bucket").distinct().count()
+    assert n_buckets_on_disk > 9  # more buckets than probes -> real pruning
+
+
+def test_lsh_index_matches_fly_path(spark, planted_idx):
+    """Indexed and on-the-fly multi-probe LSH must return the IDENTICAL
+    top-k (same planes, same probes, same rerank)."""
+    from ddsketch_ruby_spark.operators.similarity import (
+        lsh_topk,
+        lsh_topk_indexed,
+    )
+
+    df, query, rows, path, planes = planted_idx
+    fly = lsh_topk(
+        df, "embedding", "vec_id", query, k=8, n_planes=8, max_hamming=1
+    ).collect()
+    idx = lsh_topk_indexed(
+        spark, path, "vec_id", query, k=8, max_hamming=1
+    ).collect()
+    assert [(r["vec_id"], r["sim"]) for r in fly] == [
+        (r["vec_id"], r["sim"]) for r in idx
+    ]
+    got = {r["vec_id"] for r in idx}
+    assert len(got & {1000 + j for j in range(8)}) >= 6  # planted recall
+
+
+def test_lsh_index_probe_subset_of_metadata_planes(planted_idx):
+    """planes.json round-trips the exact training planes: the probe set
+    computed from the stored planes equals the one from regenerated
+    planes (same dim/n_planes/seed)."""
+    from ddsketch_ruby_spark.operators.similarity import (
+        _hyperplanes,
+        _lsh_probes,
+    )
+
+    df, query, rows, path, planes = planted_idx
+    regen = _hyperplanes(32, 8, 42)
+    assert np.array_equal(planes, regen)
+    assert _lsh_probes(planes, query, 1) == _lsh_probes(regen, query, 1)
+
+
+def test_lsh_index_fanout_guard(spark, planted_idx):
+    """n_planes > 12 (4096+ partition directories) must be rejected with
+    the prefix-partitioning pointer, not silently create the layout."""
+    from ddsketch_ruby_spark.operators.similarity import lsh_write_index
+
+    df = planted_idx[0]
+    with pytest.raises(ValueError, match="prefix"):
+        lsh_write_index(df, "/tmp/never-written", "embedding", dim=32,
+                        n_planes=16)
+
+
+def test_ngram_defaulted_cap_warns(spark, sf_dir):
+    """Leaving max_doc_freq defaulted emits the behavior-change
+    FutureWarning; passing ANY explicit value (the default included)
+    silences it."""
+    from ddsketch_ruby_spark.operators.dedup import ngram_jaccard_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ngram_jaccard_exact(docs, "text", "doc_id")
+    assert any(
+        issubclass(c.category, FutureWarning) and "max_doc_freq" in str(c.message)
+        for c in caught
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ngram_jaccard_exact(docs, "text", "doc_id", max_doc_freq=1000)
+        ngram_jaccard_exact(docs, "text", "doc_id", max_doc_freq=None)
+    assert not [c for c in caught if issubclass(c.category, FutureWarning)]
+
+
+def test_dedup_clusters_rejects_positional_budget(spark):
+    """The old id_type positional slot must fail loudly at the call site
+    (max_iterations is keyword-only since round 4)."""
+    from ddsketch_ruby_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(TypeError):
+        dedup_clusters(pairs, "long")
+
+
+def test_dedup_corpus_defaults_to_128bit_exact_keys():
+    """ADVICE round-3: the one-call cleaner's exact stage must default to
+    the 128-bit key (two xxhash64 seeds) — a 64-bit key has ~2^23 expected
+    birthday collisions at 10^12 docs, each silently dropping a
+    non-duplicate document."""
+    import inspect
+
+    from ddsketch_ruby_spark.operators.dedup import dedup_corpus
+
+    sig = inspect.signature(dedup_corpus)
+    assert sig.parameters["exact_hash_bits"].default == 128
