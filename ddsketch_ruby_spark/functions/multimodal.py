@@ -2,12 +2,14 @@
 metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
 The Spark-side plumbing — schemas, batch iteration, explode semantics,
-partition behavior — is real and tested. The image codec itself is
-pluggable: this container has no image/audio libraries, so by default we
-decode a deterministic container format (header-tagged blobs produced by
-``synth_*`` below); ``set_image_decoder`` swaps in a real decoder (e.g.
-PIL) without touching the distributed plumbing. Raw-PCM audio features are
-computed for real (pure NumPy math on int16 samples).
+partition behavior — is real and tested. The image codec is pluggable:
+built-in, the default decoder handles the deterministic FIMG container
+(header-tagged blobs produced by ``synth_*`` below) AND real baseline
+PNG (functions/png.py — pure NumPy+zlib, no image library needed, luma
+byte-identical to PIL's convert("L") for in-scope files);
+``set_image_decoder`` swaps in a full decoder (e.g. PIL, auto-picked-up
+when importable) without touching the distributed plumbing. Raw-PCM
+audio features are computed for real (pure NumPy math on int16 samples).
 
 Fake container formats (deterministic, self-describing):
   image: b"FIMG" + u32 width + u32 height + payload(width*height bytes)
@@ -59,16 +61,23 @@ def synth_audio(n_samples: int, sample_rate: int, seed: int) -> bytes:
 
 # -- pluggable image decoder ---------------------------------------------------
 def _default_decode(blob: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode the FIMG container; raises on foreign formats (a real decoder
-    such as PIL is plugged in via set_image_decoder where available)."""
-    if blob[:4] != b"FIMG":
-        raise NotImplementedError(
-            "no image library in this environment; only the FIMG container "
-            "is decodable — plug a real decoder via set_image_decoder(fn)"
-        )
-    w, h = struct.unpack_from("<II", blob, 4)
-    px = np.frombuffer(blob, dtype=np.uint8, count=w * h, offset=12)
-    return w, h, px
+    """Decode the FIMG container or a REAL PNG (functions/png.py — pure
+    NumPy+zlib, 8-bit gray/RGB/RGBA, all five scanline filters, CRC
+    checked, PIL-exact ITU-R 601-2 luma); raises on other formats (a full
+    decoder such as PIL is plugged in via set_image_decoder where
+    available, and auto-picked-up below when importable)."""
+    if blob[:4] == b"FIMG":
+        w, h = struct.unpack_from("<II", blob, 4)
+        px = np.frombuffer(blob, dtype=np.uint8, count=w * h, offset=12)
+        return w, h, px
+    from .png import PNG_SIGNATURE, decode_png
+
+    if blob[:8] == PNG_SIGNATURE:
+        return decode_png(blob)
+    raise NotImplementedError(
+        "no image library in this environment; FIMG and baseline PNG are "
+        "decodable built-in — plug a full decoder via set_image_decoder(fn)"
+    )
 
 
 _decoder: Callable[[bytes], tuple[int, int, np.ndarray]] = _default_decode

@@ -172,7 +172,17 @@ def _decode_store(buf: bytes) -> tuple[dict[int, float], np.ndarray, int]:
             sparse[k] = sparse.get(k, 0.0) + v
         elif field == 2 and wire == 2:  # packed doubles
             payload = r.bytes_()
-            contiguous = np.frombuffer(payload, dtype="<f8").astype(np.float64)
+            chunk = np.frombuffer(payload, dtype="<f8").astype(np.float64)
+            contiguous = (
+                chunk
+                if not len(contiguous)
+                else np.concatenate([contiguous, chunk])
+            )
+        elif field == 2 and wire == 1:
+            # spec-conformant readers accept the UNPACKED encoding of a
+            # packed repeated field (one wire-type-1 record per element) —
+            # proto2-era writers and some hand-rolled encoders emit it
+            contiguous = np.concatenate([contiguous, [r.double()]])
         elif field == 3 and wire == 0:
             offset = _unzigzag(r.varint())
         else:
