@@ -1886,25 +1886,33 @@ def _occ_sql(needle: str) -> str:
 def _langid_oracle() -> str:
     from ddsketch_ruby_spark.functions.text import _LANG_MARKERS
 
+    langs = sorted(_LANG_MARKERS)
     score_cols = []
-    for lang in sorted(_LANG_MARKERS):
+    for lang in langs:
         terms = [_occ_sql(f" {w} ") for w in _LANG_MARKERS[lang]]
         expr = terms[0]
         for t in terms[1:]:
             expr = f"({expr} + {t})"
         score_cols.append(f"{expr} AS s_{lang}")
-    # sequential strict-> argmax == earliest-max closed form
+    # the Spark side scans languages in sorted order replacing the best
+    # only on STRICTLY greater scores, so the winner is the first
+    # language attaining the maximum; closed form: lang_i wins iff its
+    # score >= every LATER language's (earlier branches already failed)
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        cond = " AND ".join(f"s_{lang} >= s_{m}" for m in langs[i + 1 :])
+        branches.append(f"    WHEN {cond} THEN '{lang}'")
+    all_scores = ", ".join(f"s_{lg}" for lg in langs)
+    branch_sql = "\n".join(branches)
     return f"""
 WITH scored AS (
   SELECT doc_id, {", ".join(score_cols)} FROM documents
 )
 SELECT doc_id,
   CASE
-    WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
-    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-    WHEN s_es >= s_fr THEN 'es'
-    ELSE 'fr'
+    WHEN GREATEST({all_scores}) <= 0 THEN 'und'
+{branch_sql}
+    ELSE '{langs[-1]}'
   END AS lang_pred
 FROM scored
 """

@@ -118,34 +118,56 @@ def quality_score(c: str) -> Column:
 
 
 _LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    # stopword n-gram markers per language (classic heuristic language ID)
+    # stopword markers per language (classic heuristic language ID).
+    # ASCII-only by design: occurrence counting is exact character
+    # arithmetic reproduced verbatim in the SQL oracle, so markers avoid
+    # diacritics rather than risking cross-engine length semantics.
+    # Overlapping tokens across languages are fine — each language sums
+    # its own marker occurrences independently and the argmax decides.
     "en": ("the", "and", "of", "is"),
     "de": ("der", "und", "das", "ist"),
     "fr": ("le", "et", "les", "est"),
     "es": ("el", "los", "es", "una"),
+    "it": ("il", "che", "della", "per"),
+    "pt": ("uma", "para", "com", "mais"),
+    "nl": ("het", "een", "van", "niet"),
+    "sv": ("och", "att", "som", "det"),
+    "pl": ("jest", "nie", "oraz", "przez"),
+    "tr": ("bir", "ve", "bu", "olarak"),
+    "id": ("yang", "dan", "di", "untuk"),
+    "ro": ("este", "din", "pentru", "sunt"),
 }
 
 
 def lang_id(c: str) -> Column:
-    """Stopword-marker language guess; 'und' (undetermined) when no marker
-    hits. Deterministic and SQL-reproducible."""
+    """Stopword-marker language guess over 12 Latin-script languages;
+    'und' (undetermined) when no marker hits. Deterministic (ties break
+    to the alphabetically-first language) and SQL-reproducible — the
+    oracle CASE chain is GENERATED from this same table
+    (__spark_entry__._langid_oracle), so widening the table widens the
+    gate with it."""
     padded = F.concat(F.lit(" "), F.lower(F.trim(F.col(c))), F.lit(" "))
-    scores = {
-        lang: sum(
-            (_occurrences(padded, f" {w} ") for w in words[1:]),
-            _occurrences(padded, f" {words[0]} "),
+    langs = sorted(_LANG_MARKERS)
+    scores = [
+        sum(
+            (_occurrences(padded, f" {w} ") for w in _LANG_MARKERS[lang][1:]),
+            _occurrences(padded, f" {_LANG_MARKERS[lang][0]} "),
         )
-        for lang, words in _LANG_MARKERS.items()
-    }
-    # argmax with deterministic tie-break on language code order
-    best = F.lit("und")
-    best_score = F.lit(0.0)
-    for lang in sorted(_LANG_MARKERS):
-        s = scores[lang]
-        cond = s > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, s).otherwise(best_score)
-    return best.alias("lang_pred")
+        for lang in langs
+    ]
+    # argmax via array_position(array_max): ties resolve to the FIRST
+    # (alphabetically-first) language, matching the oracle's CASE chain.
+    # Each score expression appears exactly once in the array — a chained
+    # per-language when() would re-inline every earlier score into each
+    # later branch, exploding the expression tree exponentially in the
+    # language count (observed: 12 languages broke codegen).
+    arr = F.array(*scores)
+    mx = F.array_max(arr)
+    pred = F.element_at(
+        F.array(*[F.lit(lg) for lg in langs]),
+        F.array_position(arr, mx).cast("int"),
+    )
+    return F.when(mx <= 0.0, F.lit("und")).otherwise(pred).alias("lang_pred")
 
 
 def doc_fingerprint(c: str) -> Column:

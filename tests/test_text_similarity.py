@@ -77,6 +77,27 @@ def test_lang_id(spark, textdf):
     assert r[6] == "und"  # no markers
 
 
+def test_lang_id_confusion_12_languages(spark):
+    """Confusion check over the full 12-language marker table: a
+    synthetic sentence stuffed with each language's own markers (plus
+    neutral filler shared across all rows) must be classified as that
+    language — no off-diagonal winners despite cross-language token
+    overlap — and a marker-free row stays 'und'."""
+    from ddsketch_ruby_spark.functions.text import _LANG_MARKERS
+
+    filler = "zebra quark nimbus vortex"
+    rows = [
+        (lang, f"{filler} {' '.join(words)} {' '.join(words)} {filler}")
+        for lang, words in sorted(_LANG_MARKERS.items())
+    ]
+    rows.append(("und", filler))
+    df = spark.createDataFrame(rows, "expected string, text string")
+    got = df.select("expected", lang_id("text")).collect()
+    confusion = {r["expected"]: r["lang_pred"] for r in got}
+    assert confusion == {lang: lang for lang, _ in rows}, confusion
+    assert len(_LANG_MARKERS) == 12
+
+
 def test_fingerprint_deterministic(spark, textdf):
     a = textdf.select("doc_id", doc_fingerprint("text")).collect()
     b = textdf.select("doc_id", doc_fingerprint("text")).collect()
