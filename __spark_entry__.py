@@ -596,6 +596,20 @@ def _q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, "text", "doc_id")
 
 
+def _q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-band LSH near-dup pairs over SimHash fingerprints
+    (operators/dedup.py simhash_near_dup_pairs): pigeonhole-LOSSLESS for
+    max_dist=3 < bands=4, so the gate pins the exact distance-<=3 pair
+    set — bands, hot-band cap, join, and bit_count verify all replayed
+    op-for-op in DuckDB integer arithmetic."""
+    from ddsketch_ruby_spark.operators.dedup import simhash_near_dup_pairs
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(
+        docs, "text", "doc_id", bands=4, max_dist=3, max_band_size=1000
+    )
+
+
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddsketch_ruby_spark.functions.text import doc_fingerprint
 
@@ -1707,6 +1721,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_latency_join": _q_stream_latency_join,
     "dedup_corpus_documents": _q_dedup_corpus,
     "lsh_recall_planted_indexed": _q_lsh_recall_planted_indexed,
+    "simhash_near_dup_pairs": _q_simhash_near_dup_pairs,
     "ddsketch_price_by_brand": _q_ddsketch_price_by_brand,
     "props_k_stats": _q_props_k_stats,
     "ddsketch_events_quantiles": _q_events_quantiles,
@@ -1719,7 +1734,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_rollup_doclen": _q_ddsketch_rollup,
     "ddsketch_q_of_q_user_value": _q_ddsketch_q_of_q,
     "ddsketch_multi_lineitem": _q_ddsketch_multi,
-    "ddsketch_threezone_events": _q_ddsketch_threezone,
     "ddsketch_weighted_grouped": _q_ddsketch_weighted_grouped,
     "exact_dedup_documents": _q_exact_dedup_documents,
     "exact_dedup_hashed": _q_exact_dedup_hashed,
@@ -1775,6 +1789,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_cubic_offset_events": _q_ddsketch_cubic_offset,
     "kll_exact_quantity": _q_kll_exact,
     "tdigest_exact_price": _q_tdigest_exact,
+    "ddsketch_threezone_events": _q_ddsketch_threezone,
 }
 
 DRIVER_GATE_WINDOW = 50  # observed driver truncation (CORRECTNESS_r03)
@@ -2160,13 +2175,14 @@ def _shingle_cte_chain(prefix: str, src_cte: str, width: int) -> tuple[str, str]
     )
 
 
-def _simhash_oracle_sql() -> str:
-    """SimHash fingerprints reproduced in SQL: distinct shingle hashes →
-    per-bit majority vote (votes*2 >= n, operators/dedup.py simhash) →
-    64-bit fingerprint reassembled and sign-converted."""
+def _simhash_fp_ctes() -> str:
+    """Shared CTE chain computing SimHash fingerprints in SQL: distinct
+    shingle hashes → per-bit majority vote (votes*2 >= n,
+    operators/dedup.py simhash) → 64-bit fingerprint reassembled in CTE
+    ``fp`` as UBIGINT column ``fpu`` (SUM returns HUGEINT; the re-cast
+    keeps downstream bit ops on native 64-bit)."""
     frag, hs = _shingle_cte_chain("sg", "src", width=4)
-    return f"""
-WITH src AS (SELECT doc_id, text AS t FROM documents){frag},
+    return f"""src AS (SELECT doc_id, text AS t FROM documents){frag},
 shx AS (SELECT doc_id, unnest({hs}) AS h, len({hs}) AS cnt FROM sg3),
 vb AS (
   SELECT doc_id, b,
@@ -2177,11 +2193,56 @@ vb AS (
 ),
 fp AS (
   SELECT doc_id,
-         SUM(CASE WHEN 2 * v >= cnt THEN CAST(1 AS UBIGINT) << b
-                  ELSE CAST(0 AS UBIGINT) END) AS fpu
+         CAST(SUM(CASE WHEN 2 * v >= cnt THEN CAST(1 AS UBIGINT) << b
+                       ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS fpu
   FROM vb GROUP BY doc_id
-)
+)"""
+
+
+def _simhash_oracle_sql() -> str:
+    """SimHash fingerprints reproduced in SQL (shared CTEs above),
+    sign-converted to Spark's int64 view."""
+    return f"""
+WITH {_simhash_fp_ctes()}
 SELECT doc_id, {_to_signed("fpu")} AS simhash FROM fp
+"""
+
+
+def _simhash_pairs_oracle_sql(
+    bands: int = 4, max_dist: int = 3, max_band: int = 1000
+) -> str:
+    """Hamming-band near-dup pairs over the SQL-recomputed fingerprints,
+    mirroring operators/dedup.py simhash_near_dup_pairs op-for-op: split
+    fpu into ``bands`` equal bit bands, drop bands hotter than
+    ``max_band`` members (the aggregate cap), exact band-equality
+    self-join with id_a < id_b, then verify bit_count(xor) <= max_dist.
+    All band values and distances are pure integer bit arithmetic, so the
+    gate is a full value-hash match."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return f"""
+WITH {_simhash_fp_ctes()},
+br0 AS (
+  SELECT doc_id, band_idx, (fpu >> ({width} * band_idx)) & {mask} AS band_val
+  FROM fp, (SELECT unnest(range(0, {bands})) AS band_idx) bb
+),
+ok AS (
+  SELECT band_idx, band_val FROM br0
+  GROUP BY band_idx, band_val HAVING COUNT(*) <= {max_band}
+),
+br AS (SELECT br0.* FROM br0 JOIN ok USING (band_idx, band_val)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM br a JOIN br b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(fa.fpu, fb.fpu)) AS INTEGER) AS hamming_dist
+FROM cand
+JOIN fp fa ON fa.doc_id = cand.id_a
+JOIN fp fb ON fb.doc_id = cand.id_b
+WHERE bit_count(xor(fa.fpu, fb.fpu)) <= {max_dist}
 """
 
 
@@ -2724,6 +2785,9 @@ FROM documents GROUP BY lang
         "doc_fingerprints": _doc_fingerprint_oracle_sql(),
         "exact_dedup_hashed": _exact_dedup_hashed_oracle_sql(),
         "simhash_documents": _simhash_oracle_sql(),
+        "simhash_near_dup_pairs": _simhash_pairs_oracle_sql(
+            bands=4, max_dist=3, max_band=1000
+        ),
         "minhash_sig_matrix": _minhash_oph_oracle_sql(),
         "minhash_near_dup_pairs": _minhash_pairs_oracle_sql(
             H=64, bands=16, min_est=0.5

@@ -7,6 +7,8 @@
   candidate pairs within buckets. All hashing is vectorized NumPy inside
   mapInPandas; the only shuffles are the band-bucket groupBys.
 - simhash: 64-bit near-dup fingerprint per document.
+- simhash_near_dup_pairs: Hamming-band LSH over those fingerprints —
+  EXACT (pigeonhole-lossless) near-dup pairs for max_dist < bands.
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ __all__ = [
     "collapse_near_dups",
     "dedup_corpus",
     "simhash",
+    "simhash_near_dup_pairs",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -1092,3 +1095,100 @@ def simhash(
             )
 
     return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle: int = 4,
+    bands: int = 4,
+    max_dist: int = 3,
+    max_band_size: int | None = 1000,
+    fingerprints: DataFrame | None = None,
+    broadcast_cap: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via Hamming-band LSH over SimHash
+    fingerprints: split each 64-bit fingerprint into ``bands`` equal bit
+    bands; documents agreeing EXACTLY on any band become candidates; every
+    candidate is verified with the true Hamming distance (one JVM
+    ``bit_count(a XOR b)`` per pair) and kept iff <= ``max_dist``.
+    Returns (id_a, id_b, hamming_dist), id_a < id_b.
+
+    For ``max_dist < bands`` the candidate generation is LOSSLESS by
+    pigeonhole: a pair within Hamming distance d has its differing bits in
+    at most d < bands bands, so at least one band matches exactly — the
+    result is the EXACT distance-<=d pair set (modulo the hot-band cap
+    below), unlike the probabilistic MinHash recall curve. With the
+    defaults (bands=4, 16-bit bands, max_dist=3) each band join is
+    selective down to ~2^-16 per band for random fingerprints.
+
+    Scale shape mirrors minhash_lsh_pairs: the CPU-heavy fingerprint pass
+    runs ONCE (``localCheckpoint``; or pass a persisted ``fingerprints``
+    frame (id_col, simhash) and no checkpoint is taken), the exploded band
+    rows carry only (id, band_idx, band_val) — the fingerprint itself
+    never rides the self-join shuffle — and boilerplate mega-clusters are
+    routed away from the quadratic join by ``max_band_size``, an
+    aggregate + broadcast-ANTI cap identical to the LSH bucket cap
+    (``broadcast_cap=False`` falls back to a shuffled anti-join; capped
+    groups are near-certain exact duplicates — collapse them with
+    exact_dedup first, as dedup_corpus does for MinHash)."""
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    if fingerprints is not None:
+        fps = fingerprints
+    else:
+        fps = simhash(df, text_col, id_col, shingle).localCheckpoint(
+            eager=False
+        )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask).cast("long"))
+                .alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = fps.select(id_col, F.explode(entries).alias("e")).select(
+        id_col, F.col("e.band_idx"), F.col("e.band_val")
+    )
+    if max_band_size is not None:
+        hot = (
+            exploded.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_band_size)
+            .select("band_idx", "band_val")
+        )
+        if broadcast_cap:
+            hot = F.broadcast(hot)
+        exploded = exploded.join(hot, ["band_idx", "band_val"], "left_anti")
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    fa = fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__fa"))
+    fb = fps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__fb"))
+    dist = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select("id_a", "id_b", dist.alias("hamming_dist"))
+        .filter(F.col("hamming_dist") <= max_dist)
+    )

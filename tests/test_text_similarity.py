@@ -18,6 +18,7 @@ from ddsketch_ruby_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     simhash,
+    simhash_near_dup_pairs,
 )
 from ddsketch_ruby_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk
 
@@ -662,3 +663,100 @@ def test_dedup_corpus_one_call(spark):
         min_length=10, exact_hash_bits=128,
     )
     assert {r["doc_id"] for r in kept128.collect()} == {1, 3, 6}
+
+
+def test_simhash_pairs_pigeonhole_exact(spark):
+    """For max_dist < bands the banded candidate generation is LOSSLESS
+    (pigeonhole): with the cap disabled, the operator's output must equal
+    the brute-force all-pairs Hamming-distance filter exactly — ids AND
+    distances — on a corpus mixing exact dups, near dups, and noise."""
+    rows = [
+        (i, f"document number {i} talks about topic {i % 7} in detail "
+            f"with shared boilerplate trailing text for realism")
+        for i in range(1, 41)
+    ] + [
+        (100, "the quick brown fox jumps over the lazy dog and then naps"),
+        (101, "the quick brown fox jumps over the lazy cat and then naps"),
+        (102, "the quick brown fox jumps over the lazy dog and then naps"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming_dist"]
+        for r in simhash_near_dup_pairs(
+            df, "text", "doc_id", bands=4, max_dist=3, max_band_size=None
+        ).collect()
+    }
+    fps = {
+        r["doc_id"]: r["simhash"] for r in simhash(df, "text", "doc_id").collect()
+    }
+    ids = sorted(fps)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want
+    assert got[(100, 102)] == 0  # exact dup pair surfaced at distance 0
+
+
+def test_simhash_pairs_planted_and_partition_invariant(spark, textdf):
+    """The planted near-dup (docs 1/2: one word changed, Hamming 8) and
+    exact dup (1/4: distance 0) surface at bands=16/max_dist=8 — still
+    pigeonhole-lossless since 8 < 16 — while the unrelated doc 3 pairs
+    with nothing; output identical at 1 and 7 partitions (merge
+    determinism)."""
+    kw = dict(bands=16, max_dist=8)
+    base = {
+        (r["id_a"], r["id_b"], r["hamming_dist"])
+        for r in simhash_near_dup_pairs(
+            textdf, "text", "doc_id", **kw
+        ).collect()
+    }
+    dist = {(a, b): d for a, b, d in base}
+    assert dist[(1, 4)] == 0
+    assert dist[(1, 2)] == 8
+    assert not any(3 in (a, b) for a, b in dist)
+    again = {
+        (r["id_a"], r["id_b"], r["hamming_dist"])
+        for r in simhash_near_dup_pairs(
+            textdf.repartition(7), "text", "doc_id", **kw
+        ).collect()
+    }
+    assert again == base
+
+
+def test_simhash_pairs_hot_band_cap_and_fingerprint_reuse(spark):
+    """A 12-member exact-dup mega-cluster exceeds max_band_size=10 in
+    every band and is routed away from the quadratic join entirely; the
+    two genuinely-near docs outside the cluster still pair. Passing a
+    precomputed ``fingerprints`` frame gives identical output (the
+    persisted-matrix path)."""
+    mega = [(i, "identical boilerplate page body repeated verbatim " * 3)
+            for i in range(10, 22)]
+    rows = mega + [
+        (1, "unique page about distributed sketches and quantiles today"),
+        (2, "unique page about distributed sketches and quantiles todays"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(bands=16, max_dist=8, max_band_size=10)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(df, "text", "doc_id", **kw).collect()
+    }
+    assert (1, 2) in capped
+    assert all(a not in range(10, 22) and b not in range(10, 22)
+               for a, b in capped)
+    fps = simhash(df, "text", "doc_id")
+    via_fps = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(
+            df, "text", "doc_id", fingerprints=fps, **kw
+        ).collect()
+    }
+    assert via_fps == capped
+
+
+def test_simhash_pairs_rejects_bad_bands(spark, textdf):
+    with pytest.raises(ValueError, match="divide 64"):
+        simhash_near_dup_pairs(textdf, "text", "doc_id", bands=5)
