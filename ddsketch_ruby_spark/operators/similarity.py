@@ -167,6 +167,7 @@ def lsh_write_index(
     dim: int,
     n_planes: int = 8,
     seed: int = 42,
+    prefix_bits: int | None = None,
 ) -> np.ndarray:
     """Persist a hyperplane-LSH index: the corpus parquet PARTITIONED BY
     the sign bucket, with the plane parameters stored alongside
@@ -174,29 +175,48 @@ def lsh_write_index(
     then reads only its probe buckets via partition pruning — the module
     docstring's 100 TB shape, mirroring ivf_write_index/ivf_topk_indexed.
 
-    ``n_planes`` is also the partition fan-out (2^n_planes directories):
-    8 planes -> 256 partitions. At larger plane counts partition the
-    layout by a bucket PREFIX instead (e.g. ``F.shiftright("lsh_bucket",
-    n_planes - 10)``) so the directory count stays bounded while queries
-    still prune to probe-prefix partitions; the full bucket column
-    remains in the data for the in-partition filter. Returns the planes
-    matrix."""
-    if n_planes > 12:
+    Without ``prefix_bits``, ``n_planes`` is also the partition fan-out
+    (2^n_planes directories): 8 planes -> 256 partitions; above 12 planes
+    that layout is refused (directory explosion). At larger plane counts
+    pass ``prefix_bits`` (<= 12): the layout partitions by the TOP
+    ``prefix_bits`` bits of the bucket (``lsh_prefix``), bounding the
+    directory count at 2^prefix_bits while the FULL bucket column stays
+    in the data for the in-partition filter — queries prune to the
+    distinct probe prefixes (multi-probe flips spread across all bit
+    positions, so the ~n_planes single-flip probes collapse onto at most
+    prefix_bits+1 distinct prefixes), then filter exact buckets inside
+    the surviving partitions. Returns the planes matrix."""
+    if prefix_bits is None and n_planes > 12:
         raise ValueError(
             "n_planes > 12 would create 2^n_planes partition directories; "
-            "partition by a bucket prefix instead (see docstring)"
+            "pass prefix_bits (<= 12) to partition by a bucket prefix"
+        )
+    if prefix_bits is not None and not (1 <= prefix_bits <= min(n_planes, 12)):
+        raise ValueError(
+            f"prefix_bits must be in [1, min(n_planes, 12)], got {prefix_bits}"
         )
     planes = _hyperplanes(dim, n_planes, seed)
     bucketed = lsh_bucket(df, vec_col, dim, n_planes, seed)
-    bucketed.write.partitionBy("lsh_bucket").mode("overwrite").parquet(
-        f"{path}/corpus"
-    )
+    if prefix_bits is None:
+        bucketed.write.partitionBy("lsh_bucket").mode("overwrite").parquet(
+            f"{path}/corpus"
+        )
+    else:
+        bucketed.withColumn(
+            "lsh_prefix",
+            F.shiftrightunsigned(
+                F.col("lsh_bucket").cast("long"), n_planes - prefix_bits
+            ),
+        ).write.partitionBy("lsh_prefix").mode("overwrite").parquet(
+            f"{path}/corpus"
+        )
     meta = {
         "planes": planes.tolist(),
         "vec_col": vec_col,
         "dim": dim,
         "n_planes": n_planes,
         "seed": seed,
+        "prefix_bits": prefix_bits,
     }
     spark = df.sparkSession
     spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
@@ -218,12 +238,20 @@ def lsh_topk_indexed(
     PARTITION column, so Spark prunes all non-probed buckets at planning
     time (verify with .explain -> 'PartitionFilters: [lsh_bucket IN ...]');
     with max_hamming=1 over n_planes=8 a query reads 9/256 of the corpus
-    instead of scanning it."""
+    instead of scanning it. Prefix-partitioned indexes (lsh_write_index
+    with ``prefix_bits``) prune on the distinct PROBE PREFIXES
+    ('PartitionFilters: [lsh_prefix IN ...]') and apply the exact bucket
+    set as an ordinary pushed filter inside the surviving partitions."""
     raw = spark.read.text(f"{path}/planes.json").collect()
     meta = json.loads(raw[0].value)
     planes = np.asarray(meta["planes"], dtype=np.float64)
     probes = _lsh_probes(planes, query, max_hamming)
     corpus = spark.read.parquet(f"{path}/corpus")
+    prefix_bits = meta.get("prefix_bits")
+    if prefix_bits is not None:
+        shift = meta["n_planes"] - prefix_bits
+        prefixes = sorted({p >> shift for p in probes})
+        corpus = corpus.filter(F.col("lsh_prefix").isin(prefixes))
     cand = corpus.filter(F.col("lsh_bucket").isin(probes))
     return cosine_topk(cand, meta["vec_col"], id_col, query, k, round_to)
 

@@ -94,6 +94,50 @@ def test_lsh_index_fanout_guard(spark, planted_idx):
                         n_planes=16)
 
 
+def test_lsh_index_prefix_partitioned(spark, planted_idx, tmp_path):
+    """The large-plane-count layout: 16 planes, partitioned by the top 6
+    bucket bits (64 directories instead of a refused 65536). The probe
+    filter must prune on the PREFIX partition column while the exact
+    bucket set pushes down as an ordinary filter, and the top-k must be
+    IDENTICAL to the on-the-fly path at the same parameters."""
+    from ddsketch_ruby_spark.operators.similarity import (
+        lsh_topk,
+        lsh_topk_indexed,
+        lsh_write_index,
+    )
+
+    df, query, rows, _, _ = planted_idx
+    path = str(tmp_path / "idx16")
+    lsh_write_index(
+        df, path, "embedding", dim=32, n_planes=16, prefix_bits=6
+    )
+    res = lsh_topk_indexed(spark, path, "vec_id", query, k=8, max_hamming=1)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [lsh_prefix" in plan, plan
+    assert "lsh_bucket" in plan  # exact bucket set still filters in-data
+    fly = lsh_topk(
+        df, "embedding", "vec_id", query, k=8, n_planes=16, max_hamming=1
+    ).collect()
+    assert [(r["vec_id"], r["sim"]) for r in res.collect()] == [
+        (r["vec_id"], r["sim"]) for r in fly
+    ]
+    # 17 single-flip probes collapse onto at most prefix_bits+1 = 7
+    # distinct prefixes -> a 64-partition layout reads <= 7/64 of it
+    corpus = spark.read.parquet(path + "/corpus")
+    n_parts = corpus.select("lsh_prefix").distinct().count()
+    assert n_parts > 7
+
+
+def test_lsh_index_prefix_bits_validation(spark, planted_idx):
+    from ddsketch_ruby_spark.operators.similarity import lsh_write_index
+
+    df = planted_idx[0]
+    for bad in (0, 13, 33):
+        with pytest.raises(ValueError, match="prefix_bits"):
+            lsh_write_index(df, "/tmp/never-written", "embedding", dim=32,
+                            n_planes=32, prefix_bits=bad)
+
+
 def test_ngram_defaulted_cap_warns(spark, sf_dir):
     """Leaving max_doc_freq defaulted emits the behavior-change
     FutureWarning; passing ANY explicit value (the default included)
