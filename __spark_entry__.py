@@ -909,6 +909,36 @@ def _q_lsh_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planted_recall(spark, emb, topk)
 
 
+def _q_lsh_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH ANN under the hard gate: every 97th embedding becomes a query
+    row and lsh_ann_join answers all of them in ONE distributed job
+    (operators/similarity.py) — corpus scanned once, probes broadcast,
+    per-query top-k window partitioned by query. The oracle replays the
+    hyperplane buckets with the exact plane constants and fold order,
+    expands the same probe masks, joins, and reranks with
+    ROW_NUMBER PARTITION BY query — so the full (query, neighbor, sim,
+    rank) relation must hash-match. Each query's rank-1 row is itself at
+    sim 1.0 (queries are drawn from the corpus)."""
+    from ddsketch_ruby_spark.operators.similarity import lsh_ann_join
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    return lsh_ann_join(
+        emb,
+        queries,
+        "embedding",
+        "vec_id",
+        "qid",
+        "qemb",
+        dim=64,
+        k=5,
+        n_planes=8,
+        max_hamming=1,
+    )
+
+
 def _q_lsh_recall_planted_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED-index twin of lsh_recall_planted: the corpus is
     written once as an LSH index (parquet partitioned BY the sign bucket,
@@ -1722,6 +1752,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_corpus_documents": _q_dedup_corpus,
     "lsh_recall_planted_indexed": _q_lsh_recall_planted_indexed,
     "simhash_near_dup_pairs": _q_simhash_near_dup_pairs,
+    "lsh_ann_join_topk": _q_lsh_ann_join,
     "ddsketch_price_by_brand": _q_ddsketch_price_by_brand,
     "props_k_stats": _q_props_k_stats,
     "ddsketch_events_quantiles": _q_events_quantiles,
@@ -1734,7 +1765,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_rollup_doclen": _q_ddsketch_rollup,
     "ddsketch_q_of_q_user_value": _q_ddsketch_q_of_q,
     "ddsketch_multi_lineitem": _q_ddsketch_multi,
-    "ddsketch_weighted_grouped": _q_ddsketch_weighted_grouped,
     "exact_dedup_documents": _q_exact_dedup_documents,
     "exact_dedup_hashed": _q_exact_dedup_hashed,
     "token_stats_by_lang": _q_token_stats_by_lang,
@@ -1790,6 +1820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kll_exact_quantity": _q_kll_exact,
     "tdigest_exact_price": _q_tdigest_exact,
     "ddsketch_threezone_events": _q_ddsketch_threezone,
+    "ddsketch_weighted_grouped": _q_ddsketch_weighted_grouped,
 }
 
 DRIVER_GATE_WINDOW = 50  # observed driver truncation (CORRECTNESS_r03)
@@ -2501,6 +2532,58 @@ FROM pairs WHERE cosine >= {_dlit(min_cosine)}
 """
 
 
+def _lsh_ann_join_oracle_sql(
+    dim: int = 64, n_planes: int = 8, seed: int = 42, k: int = 5, mod: int = 97
+) -> str:
+    """Batch-ANN oracle: hyperplane sign buckets with the EXACT plane
+    constants and left-to-right fold order (the _cosine_lsh_pairs_oracle_sql
+    bucket expression), the query rows expanded over the same probe masks
+    (own bucket + every single-bit flip), bucket-equality join, cosine
+    rerank rounded to 6 (list_cosine_similarity, the cosine_topk oracle
+    precedent), per-query ROW_NUMBER with the id tie-break."""
+    import numpy as np
+
+    from ddsketch_ruby_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    fold = lambda terms: "(0.0 + " + " + ".join(terms) + ")"  # noqa: E731
+
+    def dot(e: str, plane: np.ndarray) -> str:
+        return fold(
+            [f"{e}[{j + 1}] * {_dlit(float(plane[j]))}" for j in range(dim)]
+        )
+
+    bucket_terms = " + ".join(
+        f"CASE WHEN {dot('e', planes[i])} > 0.0 THEN {1 << i} ELSE 0 END"
+        for i in range(n_planes)
+    )
+    masks = [0] + [1 << i for i in range(n_planes)]
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+bkt AS (SELECT vec_id, e, {bucket_terms} AS bck FROM v),
+qp AS (
+  SELECT vec_id AS query_id, e AS qe, xor(bck, m) AS probe
+  FROM bkt, (SELECT unnest({masks}) AS m) mm
+  WHERE vec_id % {mod} = 0
+),
+cand AS (
+  SELECT qp.query_id, b.vec_id,
+         ROUND(list_cosine_similarity(b.e, qp.qe), 6) AS sim
+  FROM qp JOIN bkt b ON b.bck = qp.probe
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, vec_id
+         ) AS INT) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def _hll_oracle_sql() -> str:
     """HLL estimate per event_type, reproduced entirely in SQL: xxhash64 →
     register index / rank-of-first-one (exact bit_length via floor(log2)
@@ -2787,6 +2870,9 @@ FROM documents GROUP BY lang
         "simhash_documents": _simhash_oracle_sql(),
         "simhash_near_dup_pairs": _simhash_pairs_oracle_sql(
             bands=4, max_dist=3, max_band=1000
+        ),
+        "lsh_ann_join_topk": _lsh_ann_join_oracle_sql(
+            dim=64, n_planes=8, seed=42, k=5, mod=97
         ),
         "minhash_sig_matrix": _minhash_oph_oracle_sql(),
         "minhash_near_dup_pairs": _minhash_pairs_oracle_sql(

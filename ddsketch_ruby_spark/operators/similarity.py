@@ -36,6 +36,7 @@ __all__ = [
     "lsh_topk",
     "lsh_write_index",
     "lsh_topk_indexed",
+    "lsh_ann_join",
     "ivf_train",
     "ivf_assign",
     "ivf_topk",
@@ -254,6 +255,105 @@ def lsh_topk_indexed(
         corpus = corpus.filter(F.col("lsh_prefix").isin(prefixes))
     cand = corpus.filter(F.col("lsh_bucket").isin(probes))
     return cosine_topk(cand, meta["vec_col"], id_col, query, k, round_to)
+
+
+def lsh_ann_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    *,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    max_hamming: int = 1,
+    round_to: int = 6,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """BATCH multi-probe ANN: the per-query top-k for EVERY row of a
+    ``queries`` DataFrame in one distributed job — the production shape
+    for "N thousand queries against the corpus", where looping
+    lsh_topk per query would launch N jobs and rescan the corpus N
+    times. Returns (query_id, id, sim, rank), rank 1..k per query,
+    ties broken on id.
+
+    Plan shape at corpus scale: the corpus is scanned ONCE, bucketed by
+    the JVM hyperplane expression (no UDF); each query expands to its
+    1 + n_planes (+ pairs, at max_hamming=2) probe buckets — a thin
+    (query_id, probe, query_vec) frame that is broadcast by default
+    (queries are typically thousands of rows against a corpus of
+    billions; pass ``broadcast_queries=False`` for huge query sets and
+    AQE plans the join) — so candidate generation is a broadcast hash
+    join with NO corpus shuffle. Scoring is the same JVM fold as
+    cosine_topk, and the final top-k window partitions BY QUERY (hash
+    distributed, sized by |candidates| — never the single-partition
+    WindowExec trap). Every query's probe set matches lsh_topk's
+    (_lsh_probes) bit-for-bit, so a batch row equals the per-query
+    operator's answer for that query."""
+    if max_hamming > 2:
+        raise ValueError("max_hamming > 2 not supported (probe explosion)")
+    masks = [0] + [1 << i for i in range(n_planes)]
+    if max_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    if max_hamming == 0:
+        masks = [0]
+    bc = lsh_bucket(corpus, vec_col, dim, n_planes, seed)
+    qb = lsh_bucket(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qv"),
+        ),
+        "__qv",
+        dim,
+        n_planes,
+        seed,
+    )
+    probes = qb.select(
+        "query_id",
+        "__qv",
+        F.explode(
+            F.array(
+                *[
+                    F.col("lsh_bucket").bitwiseXOR(F.lit(m).cast("long"))
+                    for m in masks
+                ]
+            )
+        ).alias("__probe"),
+    )
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    cand = bc.join(probes, F.col("lsh_bucket") == F.col("__probe"))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qv = F.transform(F.col("__qv"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, qv, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sqnorm = lambda e: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(e, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sim = F.round(dot / (sqnorm(v) * sqnorm(qv)), round_to)
+    scored = cand.select(
+        "query_id", F.col(id_col), sim.alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "sim", "rank")
+    )
 
 
 def ivf_train(

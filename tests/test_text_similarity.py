@@ -760,3 +760,70 @@ def test_simhash_pairs_hot_band_cap_and_fingerprint_reuse(spark):
 def test_simhash_pairs_rejects_bad_bands(spark, textdf):
     with pytest.raises(ValueError, match="divide 64"):
         simhash_near_dup_pairs(textdf, "text", "doc_id", bands=5)
+
+
+def test_lsh_ann_join_matches_per_query_topk(spark, planted):
+    """Batch ANN must equal the per-query operator row-for-row: for every
+    query, lsh_ann_join's (id, sim, rank) slice == lsh_topk's answer at
+    the same planes/probes/k — at max_hamming 1 AND 2 (the pair-flip probe
+    masks must match _lsh_probes bit-for-bit)."""
+    from ddsketch_ruby_spark.operators.similarity import lsh_ann_join
+
+    df, query, rows = planted
+    qids = [0, 50, 1000, 1005]
+    queries = df.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    for mh in (1, 2):
+        batch = lsh_ann_join(
+            df, queries, "embedding", "vec_id", "qid", "qemb",
+            dim=32, k=4, n_planes=6, max_hamming=mh,
+        ).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["vec_id"], r["sim"])
+            )
+        assert set(by_q) == set(qids)
+        for qid in qids:
+            qvec = [float(x) for x in
+                    {r[0]: r[1] for r in rows}[qid]]
+            solo = lsh_topk(
+                df, "embedding", "vec_id", qvec, k=4, n_planes=6,
+                max_hamming=mh,
+            ).collect()
+            assert sorted(by_q[qid]) == [
+                (r["rank"], r["vec_id"], r["sim"]) for r in solo
+            ], (mh, qid)
+            # queries drawn from the corpus: self is rank 1 at sim 1.0
+            assert by_q[qid][0] == (1, qid, 1.0) or sorted(by_q[qid])[0][1:] == (qid, 1.0)
+
+
+def test_lsh_ann_join_plan_broadcasts_probes(spark, planted):
+    """The candidate join must be a broadcast hash join on the thin probe
+    frame — never a cartesian/shuffled corpus join."""
+    from ddsketch_ruby_spark.operators.similarity import lsh_ann_join
+
+    df, query, rows = planted
+    queries = df.limit(3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    res = lsh_ann_join(
+        df, queries, "embedding", "vec_id", "qid", "qemb", dim=32,
+        n_planes=6,
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_ann_join_rejects_wide_hamming(spark, planted):
+    from ddsketch_ruby_spark.operators.similarity import lsh_ann_join
+
+    df, query, rows = planted
+    q = df.limit(1).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    with pytest.raises(ValueError, match="max_hamming"):
+        lsh_ann_join(df, q, "embedding", "vec_id", "qid", "qemb", dim=32,
+                     max_hamming=3)
