@@ -827,3 +827,31 @@ def test_lsh_ann_join_rejects_wide_hamming(spark, planted):
     with pytest.raises(ValueError, match="max_hamming"):
         lsh_ann_join(df, q, "embedding", "vec_id", "qid", "qemb", dim=32,
                      max_hamming=3)
+
+
+def test_simhash_pairs_compose_with_cluster_collapse(spark):
+    """The SimHash pair frame feeds the same downstream as the MinHash
+    one: dedup_clusters + collapse_near_dups over simhash_near_dup_pairs
+    collapse an exact-dup triplet and a near-dup pair to their min-id
+    canonicals, leaving singletons untouched."""
+    from ddsketch_ruby_spark.operators.dedup import (
+        collapse_near_dups,
+        dedup_clusters,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappb"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (4, "entirely different text about mergeable quantile sketches"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_near_dup_pairs(
+        df, "text", "doc_id", bands=16, max_dist=8
+    ).select("id_a", "id_b")
+    clusters = {
+        r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert clusters[1] == clusters[2] == clusters[3] == 1
+    kept = {r["doc_id"] for r in collapse_near_dups(df, pairs, "doc_id").collect()}
+    assert kept == {1, 4}
