@@ -1137,20 +1137,24 @@ def simhash_near_dup_pairs(
     if 64 % bands != 0:
         raise ValueError(f"bands must divide 64, got {bands}")
     width = 64 // bands
-    mask = (1 << width) - 1
     if fingerprints is not None:
         fps = fingerprints
     else:
         fps = simhash(df, text_col, id_col, shingle).localCheckpoint(
             eager=False
         )
+
+    def band_val(b: int):
+        shifted = F.shiftrightunsigned(F.col("simhash"), b * width)
+        if width == 64:  # bands=1: the whole fingerprint; (1<<64)-1
+            return shifted  # would overflow a LongType literal
+        return shifted.bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+
     entries = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.shiftrightunsigned(F.col("simhash"), b * width)
-                .bitwiseAND(F.lit(mask).cast("long"))
-                .alias("band_val"),
+                band_val(b).alias("band_val"),
             )
             for b in range(bands)
         ]

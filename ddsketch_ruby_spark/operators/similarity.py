@@ -118,22 +118,32 @@ def lsh_bucket(
     return df.withColumn("lsh_bucket", bucket)
 
 
+def _probe_masks(n_planes: int, max_hamming: int) -> list[int]:
+    """XOR masks defining the multi-probe set: 0 (the bucket itself),
+    every single-bit flip, and — at max_hamming 2 — every pair flip. The
+    ONE definition of the probe neighborhood, shared by the per-query
+    path (_lsh_probes) and the batch path (lsh_ann_join) so they cannot
+    diverge."""
+    masks = [0]
+    if max_hamming >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if max_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return masks
+
+
 def _lsh_probes(
     planes: np.ndarray, query: Sequence[float], max_hamming: int
 ) -> list[int]:
     """Multi-probe bucket set for a query: its own sign bucket plus every
-    bucket within ``max_hamming`` flipped plane bits."""
-    n_planes = len(planes)
+    bucket within ``max_hamming`` flipped plane bits (_probe_masks)."""
     qsigns = (planes @ np.asarray(query, dtype=np.float64)) > 0
     qbucket = int(sum(1 << i for i, s in enumerate(qsigns) if s))
-    probes = {qbucket}
-    if max_hamming >= 1:
-        probes |= {qbucket ^ (1 << i) for i in range(n_planes)}
-    if max_hamming >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                probes.add(qbucket ^ (1 << i) ^ (1 << j))
-    return sorted(probes)
+    return sorted({qbucket ^ m for m in _probe_masks(len(planes), max_hamming)})
 
 
 def lsh_topk(
@@ -287,24 +297,34 @@ def lsh_ann_join(
     (queries are typically thousands of rows against a corpus of
     billions; pass ``broadcast_queries=False`` for huge query sets and
     AQE plans the join) — so candidate generation is a broadcast hash
-    join with NO corpus shuffle. Scoring is the same JVM fold as
-    cosine_topk, and the final top-k window partitions BY QUERY (hash
-    distributed, sized by |candidates| — never the single-partition
-    WindowExec trap). Every query's probe set matches lsh_topk's
-    (_lsh_probes) bit-for-bit, so a batch row equals the per-query
-    operator's answer for that query."""
+    join with NO corpus shuffle. Norms are computed ONCE per corpus row
+    and once per query (8 B columns through the join), never per
+    candidate; the dot product is the same JVM fold as cosine_topk, and
+    the final top-k window partitions BY QUERY (hash distributed, sized
+    by |candidates| — never the single-partition WindowExec trap).
+
+    Probe masks are _probe_masks — the same definition the per-query
+    path expands — and the query's base bucket uses the same JVM fold
+    that buckets the corpus, so a batch row equals lsh_topk's answer
+    for that query. (The per-query path computes the base bucket with
+    numpy planes@query instead; the two folds can disagree on the sign
+    of a dot product only within rounding error of zero, so exact
+    equality holds for any query not astride a hyperplane.)"""
     if max_hamming > 2:
         raise ValueError("max_hamming > 2 not supported (probe explosion)")
-    masks = [0] + [1 << i for i in range(n_planes)]
-    if max_hamming >= 2:
-        masks += [
-            (1 << i) | (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        ]
-    if max_hamming == 0:
-        masks = [0]
-    bc = lsh_bucket(corpus, vec_col, dim, n_planes, seed)
+    masks = _probe_masks(n_planes, max_hamming)
+    sqnorm = lambda e: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(e, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bc = lsh_bucket(corpus, vec_col, dim, n_planes, seed).withColumn(
+        "__vn", sqnorm(v)
+    )
+    qv = F.transform(F.col("__qv"), lambda x: x.cast("double"))
     qb = lsh_bucket(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -314,10 +334,11 @@ def lsh_ann_join(
         dim,
         n_planes,
         seed,
-    )
+    ).withColumn("__qn", sqnorm(qv))
     probes = qb.select(
         "query_id",
         "__qv",
+        "__qn",
         F.explode(
             F.array(
                 *[
@@ -330,21 +351,12 @@ def lsh_ann_join(
     if broadcast_queries:
         probes = F.broadcast(probes)
     cand = bc.join(probes, F.col("lsh_bucket") == F.col("__probe"))
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    qv = F.transform(F.col("__qv"), lambda x: x.cast("double"))
     dot = F.aggregate(
         F.zip_with(v, qv, lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    sqnorm = lambda e: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(e, lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    sim = F.round(dot / (sqnorm(v) * sqnorm(qv)), round_to)
+    sim = F.round(dot / (F.col("__vn") * F.col("__qn")), round_to)
     scored = cand.select(
         "query_id", F.col(id_col), sim.alias("sim")
     )

@@ -121,11 +121,27 @@ def test_lsh_index_prefix_partitioned(spark, planted_idx, tmp_path):
     assert [(r["vec_id"], r["sim"]) for r in res.collect()] == [
         (r["vec_id"], r["sim"]) for r in fly
     ]
-    # 17 single-flip probes collapse onto at most prefix_bits+1 = 7
-    # distinct prefixes -> a 64-partition layout reads <= 7/64 of it
+    # the 17 probes (own bucket + 16 single flips) must collapse onto at
+    # most prefix_bits+1 = 7 distinct prefixes — the read-volume bound —
+    # and the layout must be broader than that, else "pruning" is vacuous
+    from ddsketch_ruby_spark.operators.similarity import (
+        _hyperplanes,
+        _lsh_probes,
+    )
+
+    probes = _lsh_probes(_hyperplanes(32, 16, 42), query, 1)
+    probe_prefixes = {p >> (16 - 6) for p in probes}
+    assert len(probe_prefixes) <= 7
     corpus = spark.read.parquet(path + "/corpus")
     n_parts = corpus.select("lsh_prefix").distinct().count()
-    assert n_parts > 7
+    assert n_parts > len(probe_prefixes)
+    # and the scan's partition filter is exactly that prefix set, so a
+    # regression to all-prefixes (wrong shift) fails here
+    import re
+
+    m = re.search(r"PartitionFilters: \[lsh_prefix[^\]]*IN \(([^)]*)\)", plan)
+    assert m, plan
+    assert {int(x) for x in m.group(1).split(",")} == probe_prefixes
 
 
 def test_lsh_index_prefix_bits_validation(spark, planted_idx):

@@ -855,3 +855,17 @@ def test_simhash_pairs_compose_with_cluster_collapse(spark):
     assert clusters[1] == clusters[2] == clusters[3] == 1
     kept = {r["doc_id"] for r in collapse_near_dups(df, pairs, "doc_id").collect()}
     assert kept == {1, 4}
+
+
+def test_simhash_pairs_bands_one_exact_fingerprint_match(spark, textdf):
+    """bands=1 (one 64-bit band) is the exact-fingerprint-match
+    configuration: the full fingerprint is the band value (no mask — a
+    64-bit all-ones literal would overflow LongType), so only identical
+    fingerprints pair; at max_dist=0 that is exact-dup detection."""
+    got = {
+        (r["id_a"], r["id_b"], r["hamming_dist"])
+        for r in simhash_near_dup_pairs(
+            textdf, "text", "doc_id", bands=1, max_dist=0
+        ).collect()
+    }
+    assert got == {(1, 4, 0)}
