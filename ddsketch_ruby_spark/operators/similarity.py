@@ -37,6 +37,7 @@ __all__ = [
     "lsh_write_index",
     "lsh_topk_indexed",
     "lsh_ann_join",
+    "lsh_ann_join_indexed",
     "ivf_train",
     "ivf_assign",
     "ivf_topk",
@@ -310,21 +311,46 @@ def lsh_ann_join(
     numpy planes@query instead; the two folds can disagree on the sign
     of a dot product only within rounding error of zero, so exact
     equality holds for any query not astride a hyperplane.)"""
-    if max_hamming > 2:
-        raise ValueError("max_hamming > 2 not supported (probe explosion)")
-    masks = _probe_masks(n_planes, max_hamming)
-    sqnorm = lambda e: F.sqrt(  # noqa: E731
+    bc = lsh_bucket(corpus, vec_col, dim, n_planes, seed).withColumn(
+        "__vn", _sqnorm_col(vec_col)
+    )
+    probes = _query_probe_frame(
+        queries, query_id_col, query_vec_col, dim, n_planes, seed,
+        max_hamming, broadcast_queries,
+    )
+    cand = bc.join(probes, F.col("lsh_bucket") == F.col("__probe"))
+    return _score_and_rank(cand, vec_col, id_col, k, round_to)
+
+
+def _sqnorm_col(vec_col: str):
+    """L2 norm of an array column as the left-to-right JVM fold."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return F.sqrt(
         F.aggregate(
-            F.transform(e, lambda x: x * x),
+            F.transform(v, lambda x: x * x),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bc = lsh_bucket(corpus, vec_col, dim, n_planes, seed).withColumn(
-        "__vn", sqnorm(v)
-    )
-    qv = F.transform(F.col("__qv"), lambda x: x.cast("double"))
+
+
+def _query_probe_frame(
+    queries: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    dim: int,
+    n_planes: int,
+    seed: int,
+    max_hamming: int,
+    broadcast_queries: bool,
+) -> DataFrame:
+    """(query_id, __qv, __qn, __probe) — each query exploded over its
+    _probe_masks neighborhood, base bucket computed with the same JVM
+    fold that buckets the corpus. Shared by lsh_ann_join and
+    lsh_ann_join_indexed."""
+    if max_hamming > 2:
+        raise ValueError("max_hamming > 2 not supported (probe explosion)")
+    masks = _probe_masks(n_planes, max_hamming)
     qb = lsh_bucket(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -334,7 +360,7 @@ def lsh_ann_join(
         dim,
         n_planes,
         seed,
-    ).withColumn("__qn", sqnorm(qv))
+    ).withColumn("__qn", _sqnorm_col("__qv"))
     probes = qb.select(
         "query_id",
         "__qv",
@@ -348,24 +374,85 @@ def lsh_ann_join(
             )
         ).alias("__probe"),
     )
-    if broadcast_queries:
-        probes = F.broadcast(probes)
-    cand = bc.join(probes, F.col("lsh_bucket") == F.col("__probe"))
+    return F.broadcast(probes) if broadcast_queries else probes
+
+
+def _score_and_rank(
+    cand: DataFrame, vec_col: str, id_col: str, k: int, round_to: int
+) -> DataFrame:
+    """Cosine from precomputed norms (__vn, __qn) + per-query top-k."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qv = F.transform(F.col("__qv"), lambda x: x.cast("double"))
     dot = F.aggregate(
         F.zip_with(v, qv, lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     sim = F.round(dot / (F.col("__vn") * F.col("__qn")), round_to)
-    scored = cand.select(
-        "query_id", F.col(id_col), sim.alias("sim")
-    )
+    scored = cand.select("query_id", F.col(id_col), sim.alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "sim", "rank")
     )
+
+
+def lsh_ann_join_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    *,
+    k: int = 10,
+    max_hamming: int = 1,
+    round_to: int = 6,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batch multi-probe ANN against a PERSISTED index (lsh_write_index):
+    the repeated-workload combination of lsh_ann_join (N queries, one
+    job) and lsh_topk_indexed (read only probed partitions). Returns
+    (query_id, id, sim, rank).
+
+    Partition pruning needs a LITERAL filter — a join on the partition
+    column does not prune statically and Spark's dynamic partition
+    pruning does not fire for this shape (verified on the executed
+    plan) — so the distinct probe set is collected to the driver first.
+    That collect is BOUNDED metadata, not data: at most
+    |queries| x (1 + n_planes [+ pairs]) longs (thousands of queries ->
+    ~10^4-10^5 values), the same budget class as IVF's driver-side
+    training sample. For query sets large enough that the probe IN-list
+    itself is unwieldy, scan-and-bucket the raw corpus with lsh_ann_join
+    instead — one full scan beats a million-literal plan."""
+    raw = spark.read.text(f"{path}/planes.json").collect()
+    meta = json.loads(raw[0].value)
+    # build the probe frame UNHINTED first: the bounded metadata collect
+    # below is not a join, and a broadcast hint on a non-join plan only
+    # produces a HintErrorLogger warning; the hint is applied for the
+    # actual candidate join afterwards
+    probes = _query_probe_frame(
+        queries, query_id_col, query_vec_col, meta["dim"], meta["n_planes"],
+        meta["seed"], max_hamming, broadcast_queries=False,
+    )
+    probe_vals = sorted(
+        r["__probe"] for r in probes.select("__probe").distinct().collect()
+    )
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    corpus = spark.read.parquet(f"{path}/corpus")
+    prefix_bits = meta.get("prefix_bits")
+    if prefix_bits is not None:
+        shift = meta["n_planes"] - prefix_bits
+        corpus = corpus.filter(
+            F.col("lsh_prefix").isin(sorted({p >> shift for p in probe_vals}))
+        )
+    corpus = corpus.filter(F.col("lsh_bucket").isin(probe_vals)).withColumn(
+        "__vn", _sqnorm_col(meta["vec_col"])
+    )
+    cand = corpus.join(probes, F.col("lsh_bucket") == F.col("__probe"))
+    return _score_and_rank(cand, meta["vec_col"], id_col, k, round_to)
 
 
 def ivf_train(

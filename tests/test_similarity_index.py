@@ -9,6 +9,7 @@ import warnings
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 
 @pytest.fixture(scope="module")
@@ -196,3 +197,93 @@ def test_dedup_corpus_defaults_to_128bit_exact_keys():
 
     sig = inspect.signature(dedup_corpus)
     assert sig.parameters["exact_hash_bits"].default == 128
+
+
+def test_lsh_ann_join_indexed_matches_batch_and_prunes(spark, planted_idx):
+    """The indexed batch path must (a) prune the scan to the union of the
+    queries' probe buckets via a STATIC PartitionFilter, and (b) return
+    exactly what lsh_ann_join computes over the raw corpus with the same
+    planes — for both the full-bucket layout and (c) the prefix layout."""
+    from ddsketch_ruby_spark.operators.similarity import (
+        _hyperplanes,
+        _lsh_probes,
+        lsh_ann_join,
+        lsh_ann_join_indexed,
+    )
+
+    df, query, rows, path, planes = planted_idx
+    qids = [0, 50, 1000]
+    queries = df.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    res = lsh_ann_join_indexed(
+        spark, path, queries, "vec_id", "qid", "qemb", k=4, max_hamming=1
+    )
+    # scan-node metadata strings (PartitionFilters/PushedFilters) truncate
+    # at spark.sql.maxMetadataStringLength (default 100 chars -> the INSET
+    # list renders as "2..."); raise it so the full probe set is parseable
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        plan = res._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    assert "PartitionFilters: [lsh_bucket" in plan, plan
+    got = sorted(tuple(r) for r in res.collect())
+    want = sorted(
+        tuple(r)
+        for r in lsh_ann_join(
+            df, queries, "embedding", "vec_id", "qid", "qemb",
+            dim=32, k=4, n_planes=8, max_hamming=1,
+        ).collect()
+    )
+    assert got == want
+    # the static filter is exactly the union of the queries' probe sets
+    union = set()
+    for qid in qids:
+        qvec = [float(x) for x in {r[0]: r[1] for r in rows}[qid]]
+        union |= set(_lsh_probes(planes, qvec, 1))
+    import re
+
+    # Catalyst renders short lists as `IN (a,b)` and long ones as
+    # `INSET a, b, ...` — accept either, require exact set equality
+    m = re.search(
+        r"PartitionFilters: \[lsh_bucket[^\]]*?(?:IN \(([^)]*)\)|INSET ([^\]]*))",
+        plan,
+    )
+    assert m, plan
+    vals = m.group(1) or m.group(2)
+    got_set = {
+        int(t) for t in (x.strip() for x in vals.split(","))
+        if t.lstrip("-").isdigit()  # the filter list also carries
+    }  # isnotnull(...) entries after the INSET values
+    assert got_set == union
+
+
+def test_lsh_ann_join_indexed_prefix_layout(spark, planted_idx, tmp_path):
+    from ddsketch_ruby_spark.operators.similarity import (
+        lsh_ann_join,
+        lsh_ann_join_indexed,
+        lsh_write_index,
+    )
+
+    df, query, rows, _, _ = planted_idx
+    path = str(tmp_path / "idx16b")
+    lsh_write_index(df, path, "embedding", dim=32, n_planes=16, prefix_bits=6)
+    queries = df.filter(F.col("vec_id").isin([0, 1000])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    res = lsh_ann_join_indexed(
+        spark, path, queries, "vec_id", "qid", "qemb", k=4, max_hamming=1
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [lsh_prefix" in plan, plan
+    got = sorted(tuple(r) for r in res.collect())
+    want = sorted(
+        tuple(r)
+        for r in lsh_ann_join(
+            df, queries, "embedding", "vec_id", "qid", "qemb",
+            dim=32, k=4, n_planes=16, max_hamming=1,
+        ).collect()
+    )
+    assert got == want
