@@ -43,6 +43,8 @@ __all__ = [
     "ivf_topk",
     "ivf_write_index",
     "ivf_topk_indexed",
+    "ivf_ann_join",
+    "ivf_ann_join_indexed",
 ]
 
 
@@ -611,3 +613,130 @@ def ivf_topk_indexed(
         F.col("cell").isin(_probe_cells(centroids, query, nprobe))
     )
     return cosine_topk(cand, meta["vec_col"], id_col, query, k, round_to)
+
+
+def _ivf_probe_frame(
+    queries: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    centroids: np.ndarray,
+    nprobe: int,
+    broadcast_queries: bool,
+) -> DataFrame:
+    """(query_id, __qv, __qn, __cell) — each query exploded over its
+    nprobe nearest centroid cells, computed JVM-side: an array of
+    (distance, cell) structs sorted lexicographically (distance, then
+    cell id on exact ties — np.argsort in the per-query path leaves tie
+    order unspecified, but exact float-distance ties do not occur for
+    real embeddings), sliced to nprobe."""
+    if not (1 <= nprobe <= len(centroids)):
+        raise ValueError(
+            f"nprobe must be in [1, n_cells={len(centroids)}], got {nprobe}"
+        )
+    qv = F.transform(F.col("__qv"), lambda x: x.cast("double"))
+
+    def dist2(cent: np.ndarray):
+        carr = F.array(*[F.lit(float(x)) for x in cent])
+        return F.aggregate(
+            F.zip_with(qv, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    structs = F.array(
+        *[
+            F.struct(dist2(c).alias("d"), F.lit(i).cast("int").alias("c"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    cells = F.transform(
+        F.slice(F.array_sort(structs), 1, nprobe), lambda s: s["c"]
+    )
+    probes = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+    ).select(
+        "query_id",
+        "__qv",
+        _sqnorm_col("__qv").alias("__qn"),
+        F.explode(cells).alias("__cell"),
+    )
+    return F.broadcast(probes) if broadcast_queries else probes
+
+
+def ivf_ann_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    *,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 10,
+    sample_fraction: float = 0.2,
+    seed: int = 42,
+    round_to: int = 6,
+    broadcast_queries: bool = True,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Batch IVF ANN: the nprobe-cell top-k for every row of ``queries``
+    in one job — the IVF twin of lsh_ann_join (same plan shape: corpus
+    assigned to cells once, thin broadcast probe frame, broadcast hash
+    join, per-query top-k window partitioned by query). Pass trained
+    ``centroids`` to skip training (and to share them with a per-query
+    ivf_topk for comparison); otherwise k-means trains on the bounded
+    driver-side sample exactly as ivf_topk does."""
+    if centroids is None:
+        centroids = ivf_train(
+            corpus, vec_col, n_cells, iters, sample_fraction, seed=seed
+        )
+    bc = ivf_assign(corpus, vec_col, centroids, cell_col="__corpus_cell")
+    bc = bc.withColumn("__vn", _sqnorm_col(vec_col))
+    probes = _ivf_probe_frame(
+        queries, query_id_col, query_vec_col, centroids, nprobe,
+        broadcast_queries,
+    )
+    cand = bc.join(probes, F.col("__corpus_cell") == F.col("__cell"))
+    return _score_and_rank(cand, vec_col, id_col, k, round_to)
+
+
+def ivf_ann_join_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    round_to: int = 6,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batch IVF ANN against a persisted index (ivf_write_index): reads
+    only the UNION of the queries' probe cells via static partition
+    pruning. Like lsh_ann_join_indexed, a literal filter is required for
+    planning-time pruning, so the distinct probed cells are collected
+    first — bounded by n_cells values, strictly smaller metadata than
+    even the LSH probe union."""
+    raw = spark.read.text(f"{path}/centroids.json").collect()
+    meta = json.loads(raw[0].value)
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    probes = _ivf_probe_frame(
+        queries, query_id_col, query_vec_col, centroids, nprobe,
+        broadcast_queries=False,
+    )
+    cells = sorted(
+        r["__cell"] for r in probes.select("__cell").distinct().collect()
+    )
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    corpus = spark.read.parquet(f"{path}/corpus")
+    corpus = corpus.filter(F.col("cell").isin(cells)).withColumn(
+        "__vn", _sqnorm_col(meta["vec_col"])
+    )
+    cand = corpus.join(probes, F.col("cell") == F.col("__cell"))
+    return _score_and_rank(cand, meta["vec_col"], id_col, k, round_to)

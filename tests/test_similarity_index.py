@@ -287,3 +287,84 @@ def test_lsh_ann_join_indexed_prefix_layout(spark, planted_idx, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_ivf_ann_join_matches_per_query_topk(spark, planted_idx):
+    """Batch IVF must equal the per-query operator row-for-row when both
+    use the SAME trained centroids (passed explicitly so neither
+    retrains)."""
+    from ddsketch_ruby_spark.operators.similarity import (
+        ivf_ann_join,
+        ivf_topk,
+        ivf_train,
+    )
+
+    df, query, rows, _, _ = planted_idx
+    cents = ivf_train(df, "embedding", n_cells=8, seed=42)
+    qids = [0, 50, 1000]
+    queries = df.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    batch = ivf_ann_join(
+        df, queries, "embedding", "vec_id", "qid", "qemb",
+        k=4, nprobe=2, centroids=cents,
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["sim"])
+        )
+    vecs = {r[0]: r[1] for r in rows}
+    for qid in qids:
+        solo = ivf_topk(
+            df, "embedding", "vec_id", [float(x) for x in vecs[qid]],
+            k=4, n_cells=8, nprobe=2, seed=42,
+        ).collect()
+        assert sorted(by_q[qid]) == [
+            (r["rank"], r["vec_id"], r["sim"]) for r in solo
+        ], qid
+
+
+def test_ivf_ann_join_indexed_matches_batch_and_prunes(
+    spark, planted_idx, tmp_path
+):
+    from ddsketch_ruby_spark.operators.similarity import (
+        ivf_ann_join,
+        ivf_ann_join_indexed,
+        ivf_write_index,
+    )
+
+    df, query, rows, _, _ = planted_idx
+    path = str(tmp_path / "ivfidx")
+    cents = ivf_write_index(df, path, "embedding", n_cells=8, seed=42)
+    queries = df.filter(F.col("vec_id").isin([0, 1000])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    res = ivf_ann_join_indexed(
+        spark, path, queries, "vec_id", "qid", "qemb", k=4, nprobe=2
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, plan
+    got = sorted(tuple(r) for r in res.collect())
+    want = sorted(
+        tuple(r)
+        for r in ivf_ann_join(
+            df, queries, "embedding", "vec_id", "qid", "qemb",
+            k=4, nprobe=2, centroids=cents,
+        ).collect()
+    )
+    assert got == want
+
+
+def test_ivf_probe_frame_rejects_bad_nprobe(spark, planted_idx):
+    from ddsketch_ruby_spark.operators.similarity import ivf_ann_join, ivf_train
+
+    df = planted_idx[0]
+    cents = ivf_train(df, "embedding", n_cells=4, seed=42)
+    q = df.limit(1).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    for bad in (0, 5):
+        with pytest.raises(ValueError, match="nprobe"):
+            ivf_ann_join(df, q, "embedding", "vec_id", "qid", "qemb",
+                         nprobe=bad, centroids=cents)
