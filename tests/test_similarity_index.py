@@ -368,3 +368,35 @@ def test_ivf_probe_frame_rejects_bad_nprobe(spark, planted_idx):
         with pytest.raises(ValueError, match="nprobe"):
             ivf_ann_join(df, q, "embedding", "vec_id", "qid", "qemb",
                          nprobe=bad, centroids=cents)
+
+
+def test_batch_ann_and_simhash_pairs_handle_empty_inputs(spark, planted_idx):
+    """Degenerate inputs return empty frames, not errors: zero queries
+    against a real corpus, and a zero-row corpus against real queries."""
+    from ddsketch_ruby_spark.operators.dedup import simhash_near_dup_pairs
+    from ddsketch_ruby_spark.operators.similarity import lsh_ann_join
+
+    df = planted_idx[0]
+    no_queries = df.filter(F.lit(False)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    assert (
+        lsh_ann_join(
+            df, no_queries, "embedding", "vec_id", "qid", "qemb",
+            dim=32, n_planes=6,
+        ).count()
+        == 0
+    )
+    some_queries = df.limit(2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    no_corpus = df.filter(F.lit(False))
+    assert (
+        lsh_ann_join(
+            no_corpus, some_queries, "embedding", "vec_id", "qid", "qemb",
+            dim=32, n_planes=6,
+        ).count()
+        == 0
+    )
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert simhash_near_dup_pairs(empty_docs, "text", "doc_id").count() == 0
