@@ -1435,6 +1435,89 @@ def _q_ddsketch_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ddsketch_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming sketches under the hard gate: 2-day
+    windows sliding by 1 day over the events stream — every event folds
+    into TWO overlapping windows, so this exercises the multi-assignment
+    branch of F.window(ts, window, slide) that the tumbling gates
+    (ddsketch_stream_daily) never touch. Same staging discipline as the
+    daily gate (two real micro-batches, far-future sentinel strictly last
+    on an explicit mtime ladder); buckets are exact counts, so the
+    streamed result is bit-identical to batch, and DuckDB replays the
+    window assignment relationally (each event duplicated into the k=0,1
+    day-aligned starts) feeding the SAME exact-histogram quantile SQL."""
+    import tempfile
+    import uuid
+
+    from ddsketch_ruby_spark.operators.ddsketch_jvm import assemble_histogram
+    from ddsketch_ruby_spark.sketches.ddsketch_spec import DDSketchSpec
+    from ddsketch_ruby_spark.streaming.sketch_stream import sketch_stream_hist
+
+    (events,) = _tables(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="ddsk_stream_slide_")
+    src_dir = f"{stage}/src"
+    try:
+        for i in range(2):
+            events.filter(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src_dir)
+            _stamp_new_parquet_mtimes(src_dir, batch_index=i)
+        last_ts = events.agg(F.max("ts")).collect()[0][0]
+        events.agg(F.max("ts").alias("__mx")).select(
+            F.lit(10**9).cast("long").alias("event_id"),
+            (F.col("__mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit(0).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        _stamp_new_parquet_mtimes(src_dir, batch_index=2)
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        spec = DDSketchSpec(
+            include_stats=False, value_formula="pow", quantiles=_QS
+        )
+        hist = sketch_stream_hist(
+            stream.filter(F.col("value") > 0).select("ts", "value"),
+            spec,
+            "value",
+            "ts",
+            window="2 days",
+            slide="1 day",
+            watermark="0 seconds",
+        )
+        qn = f"ddsk_stream_slide_{uuid.uuid4().hex[:8]}"
+        q = (
+            hist.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{stage}/ckpt")
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "ddsketch_stream_sliding stream did not drain within 300 s "
+                "— refusing to gate a partially-filled memory sink"
+            )
+    finally:
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+    emitted = spark.table(qn).where(F.col("window_start") <= F.lit(last_ts))
+    wide = assemble_histogram(emitted, spec, ["window_start"])
+    stack = ", ".join(f"'{n}', round({n}, 6)" for n in _QS)
+    return wide.select(
+        F.to_date("window_start").alias("win_day"),
+        F.expr(f"stack({len(_QS)}, {stack}) as (qname, qvalue)"),
+    )
+
+
 def _q_stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming global exact dedup under the hard gate: the events table
     streamed as three micro-batches through stream_exact_dedup (8-byte
@@ -1797,6 +1880,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_membership": _q_bloom_membership,
     "ddsketch_daily_value": _q_ddsketch_daily,
     "ddsketch_stream_daily": _q_ddsketch_stream_daily,
+    "ddsketch_stream_sliding": _q_ddsketch_stream_sliding,
     "stream_dedup_users": _q_stream_dedup_users,
     "stream_latency_join": _q_stream_latency_join,
     "dedup_corpus_documents": _q_dedup_corpus,
@@ -1809,7 +1893,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_events_quantiles": _q_events_quantiles,
     "ddsketch_doclen_by_lang": _q_doclen_by_lang,
     "ddsketch_price_by_returnflag": _q_price_by_returnflag,
-    "ddsketch_weighted_quantity": _q_ddsketch_weighted,
     "ddsketch_cubic_events": _q_ddsketch_cubic,
     "ddsketch_linear_events": _q_ddsketch_linear,
     "ddsketch_rollup_doclen": _q_ddsketch_rollup,
@@ -1864,6 +1947,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_recall_planted": _q_lsh_recall_planted,
     # ---- driver-gate window boundary (first 50 entries above) ----
     # tail entries: green in r01+r02+r03, replayed by check_oracles.py
+    "ddsketch_weighted_quantity": _q_ddsketch_weighted,
     "ddsketch_offset_events": _q_ddsketch_offset,
     "ddsketch_linear_offset_events": _q_ddsketch_linear_offset,
     "ddsketch_cubic_offset_events": _q_ddsketch_cubic_offset,
@@ -2837,6 +2921,18 @@ FROM events WHERE value > 0 GROUP BY bucket_key
         "ddsketch_stream_daily": _ddsketch_oracle_sql(
             "value", "(SELECT CAST(ts AS DATE) AS day, value FROM events) AS t",
             ["day"], _QS,
+        ),
+        # sliding windows (2 days, slide 1 day): DuckDB replays the window
+        # assignment relationally — every event lands in the k=0 and k=1
+        # day-aligned starts, exactly F.window(ts, '2 days', '1 day')'s
+        # membership rule — then the SAME exact-histogram quantile SQL runs
+        # per window start. Stream ≡ batch ≡ SQL.
+        "ddsketch_stream_sliding": _ddsketch_oracle_sql(
+            "value",
+            "(SELECT CAST(date_trunc('day', ts) - k * INTERVAL 1 DAY AS DATE)"
+            " AS win_day, value FROM events"
+            " CROSS JOIN (SELECT UNNEST([0, 1]) AS k) ks) AS t",
+            ["win_day"], _QS,
         ),
         "stream_dedup_users": "SELECT DISTINCT user_id FROM events",
         "ddsketch_price_by_brand": _ddsketch_oracle_sql(

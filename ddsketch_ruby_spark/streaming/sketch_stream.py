@@ -134,6 +134,7 @@ def sketch_stream_hist(
     window: str = "1 minute",
     watermark: str | None = "5 minutes",
     group_by: Iterable[str] = (),
+    slide: str | None = None,
 ) -> DataFrame:
     """Streaming DDSketch via the JVM histogram path — NO Python in the
     stream at all. The stateful operator is a plain watermarked windowed
@@ -143,6 +144,11 @@ def sketch_stream_hist(
     final bucket rows exactly once. Assemble the emitted rows into sketch
     results with ``operators.ddsketch_jvm.assemble_histogram`` (batch side,
     e.g. in foreachBatch or on the sink table).
+
+    ``slide`` < ``window`` gives overlapping (sliding) windows: each row
+    folds into window/slide bucket histograms. State stays bounded — it
+    grows by the overlap factor, not the row count — and the monoid makes
+    every window's buckets independent of arrival order.
 
     Because this is a built-in streaming aggregation (not
     applyInPandasWithState), it composes with other stateful operators —
@@ -163,9 +169,10 @@ def sketch_stream_hist(
         ).withWatermark(ts_col, watermark)
     else:
         src = stream_df
-    windowed = src.select(
-        F.window(ts_col, window).alias("__win"), *group_by, value_col
+    win_col = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     )
+    windowed = src.select(win_col.alias("__win"), *group_by, value_col)
     hist = histogram_rows(windowed, spec, value_col, ["__win", *group_by])
     return hist.select(
         F.col("__win.start").alias("window_start"),
@@ -252,17 +259,22 @@ def sketch_stream_windowed(
     watermark: str = "5 minutes",
     group_by: Iterable[str] = (),
     emit: str = "result",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time window sketches with a watermark: late rows
-    within the watermark still merge (the monoid absorbs reordering);
-    older state is dropped by Spark automatically."""
+    """Tumbling (or, with ``slide``, sliding) event-time window sketches
+    with a watermark: late rows within the watermark still merge (the
+    monoid absorbs reordering); older state is dropped by Spark
+    automatically."""
     group_by = list(group_by)
     # watermarks require TIMESTAMP (with zone); parquet often yields NTZ
     stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    win_col = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
     windowed = (
         stream_df.withWatermark(ts_col, watermark)
         .select(
-            F.window(ts_col, window).alias("win"),
+            win_col.alias("win"),
             *group_by,
             value_col,
         )

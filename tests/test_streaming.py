@@ -111,6 +111,45 @@ def test_stream_windowed(spark, stream_dir):
         assert got_counts[k] == n
 
 
+def test_stream_windowed_sliding(spark, stream_dir):
+    """Sliding windows (2 days, slide 1 day): every row folds into TWO
+    overlapping windows; streamed per-window counts must equal the batch
+    F.window(ts, window, slide) assignment exactly."""
+    from ddsketch_ruby_spark.streaming.sketch_stream import sketch_stream_windowed
+
+    d, src = stream_dir
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    spec = DDSketchSpec(0.01, quantiles={"q50": 0.5})
+    out = sketch_stream_windowed(
+        stream, spec, "value", ts_col="ts", window="2 days", slide="1 day",
+        watermark="10 days",
+    )
+    mem = _run_stream(spark, out, "sliding_updates")
+    pdf = mem.toPandas()
+    final = pdf.groupby("window_start").tail(1)
+    ref = (
+        src.select(
+            F.window(F.col("ts").cast("timestamp"), "2 days", "1 day")
+            .alias("win"),
+            "value",
+        )
+        .groupBy(F.col("win.start").alias("window_start"))
+        .agg(F.count("value").alias("n"))
+        .collect()
+    )
+    ref_counts = {r["window_start"]: r["n"] for r in ref}
+    got_counts = {
+        row["window_start"]: row["count"] for _, row in final.iterrows()
+    }
+    assert got_counts == ref_counts
+    # the overlap factor: total assignments are 2x the row count
+    assert sum(ref_counts.values()) == 2 * src.count()
+
+
 def test_stream_restart_from_checkpoint(spark, tmp_path):
     """Kill-and-restart with a checkpointLocation: the second run resumes
     the sketch state instead of recounting — stream state survives the
