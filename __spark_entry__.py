@@ -1650,6 +1650,106 @@ def _q_stream_latency_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qn).select("event_id", "latency_s")
 
 
+def _q_session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (operators/sessions.py): gaps-and-islands over
+    (user_id, ts) — a new session when the inter-event gap strictly
+    exceeds 24 h — then per-session count/start/end/duration/value-sum.
+    All boundary arithmetic is exact integer microseconds (unix_micros /
+    DuckDB epoch_us), ties broken by event_id, so the SQL oracle replays
+    the lag + running-sum pipeline bit-for-bit."""
+    from ddsketch_ruby_spark.operators.sessions import session_stats
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return session_stats(
+        events,
+        "ts",
+        gap_seconds=86400,
+        by=["user_id"],
+        value_col="value",
+        order_col="event_id",
+    )
+
+
+def _q_stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION windows in Structured Streaming under the hard gate:
+    stream_session_stats groups the events stream by Spark's native
+    session_window(ts, 1 day) + user_id — live sessions are merged-range
+    state, extended whenever the same user's next event lands within the
+    gap, EVEN ACROSS MICRO-BATCHES, and append mode emits each session
+    exactly once when the watermark passes its close. Staging uses the
+    two-data-files + sentinel-last mtime ladder: Spark filters late rows
+    with the watermark that lags ONE batch behind eviction, so with two
+    data files the second batch's out-of-order rows are never dropped
+    (three real batches would silently lose rows — probed, and pinned in
+    tests/test_streaming.py). The sentinel (user_id −1, +30 days,
+    filtered back out) closes every real session; DuckDB replays
+    sessionization relationally with the >= boundary session_window
+    uses (new session at gap >= 1 day, vs strict > in the batch
+    operator) and recomputes the identical integer-microsecond stats."""
+    import tempfile
+    import uuid
+
+    from ddsketch_ruby_spark.streaming.sketch_stream import (
+        stream_session_stats,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="stream_sessions_")
+    src_dir = f"{stage}/src"
+    try:
+        for i in range(2):
+            events.filter(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src_dir)
+            _stamp_new_parquet_mtimes(src_dir, batch_index=i)
+        events.agg(F.max("ts").alias("__mx")).select(
+            F.lit(10**9).cast("long").alias("event_id"),
+            (F.col("__mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        _stamp_new_parquet_mtimes(src_dir, batch_index=2)
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        sessions = stream_session_stats(
+            stream,
+            "ts",
+            gap="1 day",
+            by=["user_id"],
+            value_col="value",
+            watermark="0 seconds",
+        )
+        qn = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{stage}/ckpt")
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_session_stats stream did not drain within 300 s — "
+                "refusing to gate a partially-filled memory sink"
+            )
+    finally:
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(qn).where(F.col("user_id") >= 0).select(
+        "user_id", "n_events", "start_us", "end_us", "duration_us",
+        "sum_value",
+    )
+
+
 def _q_ddsketch_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-enriched sketch: lineitem joined to part (explicitly
     broadcast — the small side never shuffles) then per-brand quantiles."""
@@ -1883,6 +1983,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_stream_sliding": _q_ddsketch_stream_sliding,
     "stream_dedup_users": _q_stream_dedup_users,
     "stream_latency_join": _q_stream_latency_join,
+    "session_stats_events": _q_session_stats_events,
+    "stream_session_stats": _q_stream_session_stats,
     "dedup_corpus_documents": _q_dedup_corpus,
     "lsh_recall_planted_indexed": _q_lsh_recall_planted_indexed,
     "simhash_near_dup_pairs": _q_simhash_near_dup_pairs,
@@ -1894,7 +1996,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_doclen_by_lang": _q_doclen_by_lang,
     "ddsketch_price_by_returnflag": _q_price_by_returnflag,
     "ddsketch_cubic_events": _q_ddsketch_cubic,
-    "ddsketch_linear_events": _q_ddsketch_linear,
     "ddsketch_rollup_doclen": _q_ddsketch_rollup,
     "ddsketch_q_of_q_user_value": _q_ddsketch_q_of_q,
     "ddsketch_multi_lineitem": _q_ddsketch_multi,
@@ -1939,7 +2040,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _tables(spark, sf_dir, "documents")[0], "text", "doc_id",
         num_hashes=64, variant="oph",
     ).select("doc_id", F.posexplode("sig").alias("pos", "sig")),
-    "doc_fingerprints": _q_doc_fingerprints,
     "hll_users_by_type": _q_hll_users_by_type,
     "tdigest_price_by_returnflag": _q_tdigest_price,
     "kll_quantity_quantiles": _q_kll_quantity,
@@ -1948,6 +2048,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver-gate window boundary (first 50 entries above) ----
     # tail entries: green in r01+r02+r03, replayed by check_oracles.py
     "ddsketch_weighted_quantity": _q_ddsketch_weighted,
+    "ddsketch_linear_events": _q_ddsketch_linear,
+    "doc_fingerprints": _q_doc_fingerprints,
     "ddsketch_offset_events": _q_ddsketch_offset,
     "ddsketch_linear_offset_events": _q_ddsketch_linear_offset,
     "ddsketch_cubic_offset_events": _q_ddsketch_cubic_offset,
@@ -2935,6 +3037,52 @@ FROM events WHERE value > 0 GROUP BY bucket_key
             ["win_day"], _QS,
         ),
         "stream_dedup_users": "SELECT DISTINCT user_id FROM events",
+        # gaps-and-islands sessionization, STRICT > boundary (the batch
+        # operator's rule): exact integer-microsecond arithmetic on both
+        # sides, ties broken by event_id, running sum cast to BIGINT to
+        # match Spark's long session ordinal
+        "session_stats_events": """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 86400000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM o
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_id
+""",
+        # the streamed twin: Spark's session_window starts a NEW session
+        # when the gap is >= the 1-day threshold (merged [t, t+gap)
+        # ranges), so the oracle's boundary is >= where the batch
+        # operator's is strict > — they differ only on an exactly-gap tie
+        "stream_session_stats": """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 86400000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, COUNT(*) AS n_events,
+       MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
         "ddsketch_price_by_brand": _ddsketch_oracle_sql(
             "l_extendedprice",
             "(SELECT l_extendedprice, p_brand FROM lineitem "

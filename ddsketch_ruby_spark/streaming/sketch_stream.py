@@ -34,6 +34,7 @@ __all__ = [
     "stream_exact_dedup",
     "sketch_stream_hist",
     "stream_stream_latency_join",
+    "stream_session_stats",
 ]
 
 
@@ -287,4 +288,47 @@ def sketch_stream_windowed(
     )
     return sketch_stream_agg(
         windowed, spec, value_col, ["window_start", "window_end", *group_by], emit
+    )
+
+
+def stream_session_stats(
+    stream_df: DataFrame,
+    ts_col: str,
+    gap: str = "30 minutes",
+    by: Iterable[str] = ("user_id",),
+    value_col: str | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Per-key SESSION windows via Spark's native session_window state
+    merging: a session is extended while consecutive events of the same
+    key arrive within ``gap`` (Spark merges overlapping [t, t+gap)
+    windows, i.e. a NEW session starts when the inter-event gap is
+    >= ``gap`` — note >= where operators/sessions.py's batch
+    gaps-and-islands uses strict >; they differ only on an exactly-gap
+    tie). Append mode emits each session exactly once, when the
+    watermark passes its close; state per live session is one row of
+    counters, aged out automatically.
+
+    Output mirrors ``operators.sessions.session_stats``: key columns +
+    n_events, start_us/end_us/duration_us (exact integer microseconds),
+    and sum_value when ``value_col`` is given — so the batch operator and
+    a relational SQL replay can gate this bit-for-bit.
+    """
+    by = list(by)
+    src = stream_df.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    ).withWatermark(ts_col, watermark)
+    us = F.unix_micros(F.col(ts_col))
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(us).alias("start_us"),
+        F.max(us).alias("end_us"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 6).alias("sum_value"))
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("__sw"), *by)
+        .agg(*aggs)
+        .drop("__sw")
     )
