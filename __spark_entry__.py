@@ -1750,6 +1750,42 @@ def _q_stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed as-of join (operators/asof.py): even-id events are the
+    request stream, odd-id events the metric stream; every request gets
+    the SAME user's most recent metric at-or-before its timestamp
+    (backward inclusive). The union-carry plan shuffles each input once
+    on user_id — no range-join blowup, no driver loop. DuckDB's native
+    ASOF LEFT JOIN is the independent oracle; timestamps compare as
+    exact integer microseconds and the carried value is read, not
+    computed, so the whole relation hash-matches."""
+    from ddsketch_ruby_spark.operators.asof import asof_join
+
+    (events,) = _tables(spark, sf_dir, "events")
+    req = events.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    met = events.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        req,
+        met,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("req_us"),
+        F.col("ts_asof").alias("metric_us"),
+        F.col("value_asof").alias("metric_value"),
+        "age_us",
+    )
+
+
 def _q_ddsketch_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-enriched sketch: lineitem joined to part (explicitly
     broadcast — the small side never shuffles) then per-brand quantiles."""
@@ -1985,6 +2021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_latency_join": _q_stream_latency_join,
     "session_stats_events": _q_session_stats_events,
     "stream_session_stats": _q_stream_session_stats,
+    "asof_join_events": _q_asof_join_events,
     "dedup_corpus_documents": _q_dedup_corpus,
     "lsh_recall_planted_indexed": _q_lsh_recall_planted_indexed,
     "simhash_near_dup_pairs": _q_simhash_near_dup_pairs,
@@ -2003,7 +2040,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup_hashed": _q_exact_dedup_hashed,
     "token_stats_by_lang": _q_token_stats_by_lang,
     "langid_documents": _q_langid_documents,
-    "quality_by_lang": _q_quality_by_lang,
     "cosine_topk_embeddings": _q_cosine_topk,
     "minhash_near_dup_pairs": _q_minhash_pairs,
     "ngram_jaccard_pairs": lambda spark, sf_dir: __import__(
@@ -2050,6 +2086,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_weighted_quantity": _q_ddsketch_weighted,
     "ddsketch_linear_events": _q_ddsketch_linear,
     "doc_fingerprints": _q_doc_fingerprints,
+    "quality_by_lang": _q_quality_by_lang,
     "ddsketch_offset_events": _q_ddsketch_offset,
     "ddsketch_linear_offset_events": _q_ddsketch_linear_offset,
     "ddsketch_cubic_offset_events": _q_ddsketch_cubic_offset,
@@ -3082,6 +3119,18 @@ SELECT user_id, COUNT(*) AS n_events,
        MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
        ROUND(SUM(value), 6) AS sum_value
 FROM s GROUP BY user_id, sid
+""",
+        # DuckDB's native ASOF LEFT JOIN is an INDEPENDENT implementation
+        # of the backward-inclusive as-of semantics (r.ts >= m.ts picks
+        # the greatest m.ts at-or-before) — not a replay of the Spark
+        # union-carry plan
+        "asof_join_events": """
+SELECT r.event_id, r.user_id, epoch_us(r.ts) AS req_us,
+       epoch_us(m.ts) AS metric_us, m.value AS metric_value,
+       epoch_us(r.ts) - epoch_us(m.ts) AS age_us
+FROM (SELECT * FROM events WHERE event_id % 2 = 0) r
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 1) m
+  ON r.user_id = m.user_id AND r.ts >= m.ts
 """,
         "ddsketch_price_by_brand": _ddsketch_oracle_sql(
             "l_extendedprice",
