@@ -1786,6 +1786,31 @@ def _q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (operators/ranges.py): every 20th event
+    anchors a 2-hour window [ts, ts+2h]; the join finds every event
+    inside each window. Planned as the bin-bucketed EQUI-join (points
+    bin once, intervals explode into <= 2 bins, ordinary shuffled join +
+    exact containment filter) — no BroadcastNestedLoopJoin. DuckDB
+    oracles with a plain BETWEEN join over exact integer microseconds."""
+    from ddsketch_ruby_spark.operators.ranges import range_join
+
+    (events,) = _tables(spark, sf_dir, "events")
+    two_h_us = 7200 * 1_000_000
+    iv = events.filter(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("iid"),
+        F.col("ts").alias("iv_start"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp")) + F.lit(two_h_us)
+        ).alias("iv_end"),
+    )
+    pts = events.select(
+        F.col("event_id").alias("pid"), F.col("ts").alias("pts"), "value"
+    )
+    out = range_join(pts, iv, "pts", "iv_start", "iv_end", bin_seconds=7200)
+    return out.select("iid", "pid", "value")
+
+
 def _q_ddsketch_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-enriched sketch: lineitem joined to part (explicitly
     broadcast — the small side never shuffles) then per-brand quantiles."""
@@ -2022,6 +2047,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_stats_events": _q_session_stats_events,
     "stream_session_stats": _q_stream_session_stats,
     "asof_join_events": _q_asof_join_events,
+    "range_join_events": _q_range_join_events,
     "dedup_corpus_documents": _q_dedup_corpus,
     "lsh_recall_planted_indexed": _q_lsh_recall_planted_indexed,
     "simhash_near_dup_pairs": _q_simhash_near_dup_pairs,
@@ -2069,7 +2095,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _tables(spark, sf_dir, "embeddings")[0], "embedding", "vec_id",
         min_cosine=0.3,
     ),
-    "simhash_documents": _q_simhash_documents,
     "minhash_sig_matrix": lambda spark, sf_dir: __import__(
         "ddsketch_ruby_spark.operators.dedup", fromlist=["minhash_signatures"]
     ).minhash_signatures(
@@ -2087,6 +2112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_linear_events": _q_ddsketch_linear,
     "doc_fingerprints": _q_doc_fingerprints,
     "quality_by_lang": _q_quality_by_lang,
+    "simhash_documents": _q_simhash_documents,
     "ddsketch_offset_events": _q_ddsketch_offset,
     "ddsketch_linear_offset_events": _q_ddsketch_linear_offset,
     "ddsketch_cubic_offset_events": _q_ddsketch_cubic_offset,
@@ -3131,6 +3157,16 @@ SELECT r.event_id, r.user_id, epoch_us(r.ts) AS req_us,
 FROM (SELECT * FROM events WHERE event_id % 2 = 0) r
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 1) m
   ON r.user_id = m.user_id AND r.ts >= m.ts
+""",
+        # plain BETWEEN join over exact integer microseconds — DuckDB
+        # picks its own physical range-join strategy (IEJoin), fully
+        # independent of the Spark bin-bucketed plan
+        "range_join_events": """
+SELECT i.event_id AS iid, p.event_id AS pid, p.value AS value
+FROM events p
+JOIN (SELECT event_id, ts FROM events WHERE event_id % 20 = 0) i
+  ON epoch_us(p.ts) BETWEEN epoch_us(i.ts)
+                        AND epoch_us(i.ts) + 7200000000
 """,
         "ddsketch_price_by_brand": _ddsketch_oracle_sql(
             "l_extendedprice",
