@@ -667,6 +667,49 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", doc_fingerprint("text"))
 
 
+def _q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential Poisson sampling (operators/sampling.py): 20 docs per
+    lang with inclusion probability ~ n_chars. The priority key
+    xi = (xxhash64(doc_id) & (2^53-1)) * 2^-53 / n_chars is pure IEEE
+    double arithmetic on a hash-derived dyadic uniform, so DuckDB
+    recomputes the exact same keys (seeded by the same xxhash64 chain)
+    and the selected SET — not just its size — hash-matches."""
+    from ddsketch_ruby_spark.operators.sampling import weighted_sample
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs, "doc_id", "n_chars", k=20, strata=["lang"]
+    )
+    return out.select(
+        "lang", "doc_id", F.round("sample_key", 6).alias("sample_key")
+    )
+
+
+def _weighted_sample_oracle_sql(k: int = 20) -> str:
+    """Replays the sequential-Poisson key in DuckDB: same xxhash64 chain,
+    same 53-bit dyadic uniform, same single double division."""
+    frag, fin, h = _xxh64_chain("ws", "src")
+    mask = (1 << 53) - 1
+    return f"""
+WITH src AS (
+  SELECT lang, doc_id, n_chars, doc_id AS x FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+){frag},
+xi AS (
+  SELECT lang, doc_id,
+         CAST({h} & {mask} AS DOUBLE) * POWER(2.0, -53)
+           / CAST(n_chars AS DOUBLE) AS xi
+  FROM {fin}
+),
+r AS (
+  SELECT lang, doc_id, xi,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY xi, doc_id) AS rn
+  FROM xi
+)
+SELECT lang, doc_id, ROUND(xi, 6) AS sample_key FROM r WHERE rn <= {k}
+"""
+
+
 def _q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddsketch_ruby_spark.operators.agg import sketch_agg
     from ddsketch_ruby_spark.sketches.hll import HLLSpec
@@ -2053,6 +2096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup_pairs": _q_simhash_near_dup_pairs,
     "lsh_ann_join_topk": _q_lsh_ann_join,
     "ivf_ann_join_exhaustive": _q_ivf_ann_join_exhaustive,
+    "weighted_sample_documents": _q_weighted_sample_docs,
     "ddsketch_price_by_brand": _q_ddsketch_price_by_brand,
     "props_k_stats": _q_props_k_stats,
     "ddsketch_events_quantiles": _q_events_quantiles,
@@ -2095,12 +2139,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _tables(spark, sf_dir, "embeddings")[0], "embedding", "vec_id",
         min_cosine=0.3,
     ),
-    "minhash_sig_matrix": lambda spark, sf_dir: __import__(
-        "ddsketch_ruby_spark.operators.dedup", fromlist=["minhash_signatures"]
-    ).minhash_signatures(
-        _tables(spark, sf_dir, "documents")[0], "text", "doc_id",
-        num_hashes=64, variant="oph",
-    ).select("doc_id", F.posexplode("sig").alias("pos", "sig")),
     "hll_users_by_type": _q_hll_users_by_type,
     "tdigest_price_by_returnflag": _q_tdigest_price,
     "kll_quantity_quantiles": _q_kll_quantity,
@@ -2121,6 +2159,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_threezone_events": _q_ddsketch_threezone,
     "ddsketch_weighted_grouped": _q_ddsketch_weighted_grouped,
     "ddsketch_stats_events": _q_sketch_stats_events,
+    "minhash_sig_matrix": lambda spark, sf_dir: __import__(
+        "ddsketch_ruby_spark.operators.dedup", fromlist=["minhash_signatures"]
+    ).minhash_signatures(
+        _tables(spark, sf_dir, "documents")[0], "text", "doc_id",
+        num_hashes=64, variant="oph",
+    ).select("doc_id", F.posexplode("sig").alias("pos", "sig")),
 }
 
 DRIVER_GATE_WINDOW = 50  # observed driver truncation (CORRECTNESS_r03)
@@ -3358,6 +3402,7 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 # registered after the main update: its oracle embeds the (already
 # registered) ngram_jaccard_exact SQL as the edge source
+ORACLES["weighted_sample_documents"] = _weighted_sample_oracle_sql(k=20)
 ORACLES["dedup_clusters_documents"] = _dedup_clusters_oracle_sql()
 ORACLES["dedup_collapse_documents"] = _dedup_collapse_oracle_sql()
 ORACLES["dedup_corpus_documents"] = _dedup_corpus_oracle_sql()
