@@ -720,6 +720,27 @@ def _q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("event_type", F.round("approx_distinct", 3).alias("approx_distinct"))
 
 
+def _q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user overlap between event types via HLL
+    inclusion-exclusion (operators/frequency.py hll_overlap). The HLL
+    union is exact at the sketch level (element-wise register max), so
+    DuckDB can rebuild the registers of A, B, and A∪B from the same
+    xxhash64 chain and recompute all four estimates bit-identically."""
+    from ddsketch_ruby_spark.operators.frequency import hll_overlap
+
+    (events,) = _tables(spark, sf_dir, "events")
+    hashed = events.select("event_type", F.xxhash64("user_id").alias("h"))
+    res = hll_overlap(hashed, "h", "event_type")
+    return res.select(
+        "type_a",
+        "type_b",
+        *[
+            F.round(c, 3).alias(c)
+            for c in ("est_a", "est_b", "est_union", "est_intersect")
+        ],
+    )
+
+
 def _bound_checked(
     est: DataFrame,
     values: DataFrame,
@@ -2097,6 +2118,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_join_topk": _q_lsh_ann_join,
     "ivf_ann_join_exhaustive": _q_ivf_ann_join_exhaustive,
     "weighted_sample_documents": _q_weighted_sample_docs,
+    "hll_overlap_event_types": _q_hll_overlap,
     "ddsketch_price_by_brand": _q_ddsketch_price_by_brand,
     "props_k_stats": _q_props_k_stats,
     "ddsketch_events_quantiles": _q_events_quantiles,
@@ -2133,12 +2155,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _tables(spark, sf_dir, "documents")[0], "text", "doc_id",
         min_jaccard=0.5, max_doc_freq=100,
     ),
-    "cosine_allpairs_dup": lambda spark, sf_dir: __import__(
-        "ddsketch_ruby_spark.operators.dedup", fromlist=["cosine_pairs_exact"]
-    ).cosine_pairs_exact(
-        _tables(spark, sf_dir, "embeddings")[0], "embedding", "vec_id",
-        min_cosine=0.3,
-    ),
     "hll_users_by_type": _q_hll_users_by_type,
     "tdigest_price_by_returnflag": _q_tdigest_price,
     "kll_quantity_quantiles": _q_kll_quantity,
@@ -2165,6 +2181,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _tables(spark, sf_dir, "documents")[0], "text", "doc_id",
         num_hashes=64, variant="oph",
     ).select("doc_id", F.posexplode("sig").alias("pos", "sig")),
+    "cosine_allpairs_dup": lambda spark, sf_dir: __import__(
+        "ddsketch_ruby_spark.operators.dedup", fromlist=["cosine_pairs_exact"]
+    ).cosine_pairs_exact(
+        _tables(spark, sf_dir, "embeddings")[0], "embedding", "vec_id",
+        min_cosine=0.3,
+    ),
 }
 
 DRIVER_GATE_WINDOW = 50  # observed driver truncation (CORRECTNESS_r03)
@@ -2989,6 +3011,103 @@ FROM est
 """
 
 
+def _hll_overlap_oracle_sql() -> str:
+    """Pairwise HLL inclusion-exclusion, reproduced in SQL: per-type
+    registers from the same xxhash64 chain as _hll_oracle_sql, union
+    registers = MAX over the pair, then the kernel's exact-integer
+    estimate applied to the 'a' / 'b' / 'u' register multisets and
+    pivoted to columns. est_intersect = GREATEST(0, (a + b) - u) on the
+    UNROUNDED doubles, mirroring hll_overlap's float expression order."""
+    from ddsketch_ruby_spark.sketches.hll import HLLSpec, _alpha_m
+
+    spec = HLLSpec(p=14)
+    m = spec.m
+    width = 64 - spec.p
+    R = width + 1
+    am2 = _alpha_m(m) * m * m
+    frag, fin, h = _xxh64_chain("xo", "src")
+    # the kernel estimate over a labeled register multiset (sp covers
+    # occupied registers; the (m - np) zero registers contribute 2^R each)
+    return f"""
+WITH src AS (SELECT event_type, user_id AS x FROM events){frag},
+rh AS (
+  SELECT event_type, {h} >> {width} AS idx,
+         {h} & {(1 << width) - 1} AS low
+  FROM {fin}
+),
+bl AS (
+  SELECT event_type, idx,
+    CASE WHEN low = 0 THEN 0
+         ELSE CAST(FLOOR(LOG2(CAST(low AS DOUBLE))) AS BIGINT) END AS g,
+    low
+  FROM rh
+),
+rho AS (
+  SELECT event_type, idx,
+    CASE WHEN low = 0 THEN {R}
+         WHEN POWER(2.0, g) > CAST(low AS DOUBLE) THEN {width} - (g - 1)
+         WHEN CAST(low AS DOUBLE) >= POWER(2.0, g + 1) THEN {width} - (g + 1)
+         ELSE {width} - g END AS rho
+  FROM bl
+),
+reg AS (SELECT event_type, idx, MAX(rho) AS r FROM rho GROUP BY event_type, idx),
+types AS (SELECT DISTINCT event_type FROM reg),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+lab AS (
+  SELECT p.ta, p.tb, 'a' AS which, r.idx, r.r
+  FROM pairs p JOIN reg r ON r.event_type = p.ta
+  UNION ALL
+  SELECT p.ta, p.tb, 'b' AS which, r.idx, r.r
+  FROM pairs p JOIN reg r ON r.event_type = p.tb
+  UNION ALL
+  SELECT ta, tb, 'u' AS which, idx, MAX(r) AS r FROM (
+    SELECT p.ta, p.tb, r.idx, r.r
+    FROM pairs p JOIN reg r ON r.event_type = p.ta
+    UNION ALL
+    SELECT p.ta, p.tb, r.idx, r.r
+    FROM pairs p JOIN reg r ON r.event_type = p.tb
+  ) GROUP BY ta, tb, idx
+),
+agg AS (
+  SELECT ta, tb, which,
+         SUM(CAST(1 AS BIGINT) << ({R} - r)) AS sp,
+         COUNT(*) AS np
+  FROM lab GROUP BY ta, tb, which
+),
+est AS (
+  SELECT ta, tb, which,
+         CAST(CAST(sp AS HUGEINT)
+              + CAST({m} - np AS HUGEINT) * {1 << R} AS DOUBLE)
+           * POWER(2.0, {-R}) AS denom,
+         {m} - np AS zeros
+  FROM agg
+),
+e AS (
+  SELECT ta, tb, which,
+         CASE WHEN {_dlit(am2)} / denom <= {2.5 * m!r} AND zeros > 0
+              THEN {m} * LN(CAST({m} AS DOUBLE) / zeros)
+              ELSE {_dlit(am2)} / denom END AS v
+  FROM est
+),
+piv AS (
+  SELECT ta, tb,
+         MAX(CASE WHEN which = 'a' THEN v END) AS va,
+         MAX(CASE WHEN which = 'b' THEN v END) AS vb,
+         MAX(CASE WHEN which = 'u' THEN v END) AS vu
+  FROM e GROUP BY ta, tb
+)
+SELECT ta AS type_a, tb AS type_b,
+       ROUND(va, 3) AS est_a,
+       ROUND(vb, 3) AS est_b,
+       ROUND(vu, 3) AS est_union,
+       ROUND(GREATEST(0.0, (va + vb) - vu), 3) AS est_intersect
+FROM piv
+"""
+
+
 def _cms_idx_expr(hm: str, a: int, b: int, width: int) -> str:
     """Bucket index mirroring CMSSpec._indices: uint64-wrapping a*x+b,
     then mod M61, mod width."""
@@ -3403,6 +3522,7 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 # registered after the main update: its oracle embeds the (already
 # registered) ngram_jaccard_exact SQL as the edge source
 ORACLES["weighted_sample_documents"] = _weighted_sample_oracle_sql(k=20)
+ORACLES["hll_overlap_event_types"] = _hll_overlap_oracle_sql()
 ORACLES["dedup_clusters_documents"] = _dedup_clusters_oracle_sql()
 ORACLES["dedup_collapse_documents"] = _dedup_collapse_oracle_sql()
 ORACLES["dedup_corpus_documents"] = _dedup_corpus_oracle_sql()

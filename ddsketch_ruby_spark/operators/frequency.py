@@ -26,6 +26,7 @@ __all__ = [
     "bloom_build",
     "bloom_filter_column",
     "hash_items",
+    "hll_overlap",
 ]
 
 
@@ -134,3 +135,73 @@ def bloom_filter_column(
             yield out
 
     return hashed.mapInPandas(probe, schema=schema)
+
+
+def hll_overlap(
+    df: DataFrame,
+    hash_col: str,
+    group_col: str,
+    p: int = 14,
+) -> DataFrame:
+    """Pairwise distinct-overlap estimates between groups, via HLL
+    inclusion-exclusion: |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), where
+    est(A ∪ B) is the estimate of the element-wise register MAX (the HLL
+    union is exact at the sketch level — merging registers gives the
+    sketch OF the union, so only the estimator error remains).
+
+    Input contract matches the HLL spec: ``hash_col`` already holds
+    xxhash64 values (hash JVM-side). Output: one row per unordered group
+    pair (type_a < type_b) with est_a / est_b / est_union /
+    est_intersect (clamped at 0 — inclusion-exclusion can go slightly
+    negative for disjoint sets).
+
+    Scale shape: the expensive part is the distributed register build
+    (two-phase sketch_agg — shuffle volume partitions x groups x 16 kB,
+    row-count independent). The pairing joins two g-row state frames
+    with an inequality condition: a BROADCAST nested loop over g rows a
+    side — bounded by construction (g = group cardinality after
+    aggregation), never by input rows. The estimator folds each pair's
+    16 kB registers in NumPy inside mapInPandas."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..sketches.hll import HLLSpec, hll_estimate
+
+    spec = HLLSpec(p)
+    states = sketch_agg(df, spec, hash_col, [group_col], output="state")
+    gtype = states.schema[group_col].dataType
+    a = states.select(
+        F.col(group_col).alias("type_a"), F.col("registers").alias("__ra")
+    )
+    b = states.select(
+        F.col(group_col).alias("type_b"), F.col("registers").alias("__rb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    out_schema = T.StructType(
+        [
+            T.StructField("type_a", gtype),
+            T.StructField("type_b", gtype),
+            T.StructField("est_a", T.DoubleType()),
+            T.StructField("est_b", T.DoubleType()),
+            T.StructField("est_union", T.DoubleType()),
+            T.StructField("est_intersect", T.DoubleType()),
+        ]
+    )
+
+    def est_pairs(batches):
+        for pdf in batches:
+            rows = []
+            for ta, tb, ra_b, rb_b in zip(
+                pdf["type_a"], pdf["type_b"], pdf["__ra"], pdf["__rb"]
+            ):
+                ra = np.frombuffer(bytes(ra_b), dtype=np.uint8)
+                rb = np.frombuffer(bytes(rb_b), dtype=np.uint8)
+                ea = hll_estimate(ra)
+                eb = hll_estimate(rb)
+                eu = hll_estimate(np.maximum(ra, rb))
+                rows.append(
+                    (ta, tb, ea, eb, eu, max(0.0, (ea + eb) - eu))
+                )
+            yield pd.DataFrame(rows, columns=out_schema.names)
+
+    return pairs.mapInPandas(est_pairs, schema=out_schema)

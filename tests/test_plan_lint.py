@@ -27,6 +27,10 @@ _ALLOW_NESTED_LOOP = {
     # estimates — a |qs|-row build side by construction (3 rows), so the
     # nested loop is a scan with 3 comparisons per row, not a join blowup
     "kll_quantity_quantiles",
+    # hll_overlap pairs two g-row STATE frames (one row per group after
+    # sketch_agg) with an inequality condition — bounded by group
+    # cardinality, never by input rows
+    "hll_overlap_event_types",
 }
 
 
