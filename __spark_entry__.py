@@ -720,6 +720,69 @@ def _q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("event_type", F.round("approx_distinct", 3).alias("approx_distinct"))
 
 
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (operators/retrieval.py): per-term score
+    contributions are rounded to 1e-6 integers before summing, so the
+    doc score is an order-insensitive integer sum — DuckDB rebuilds the
+    identical tokenization (per-token lower of ASCII alnum runs), the
+    identical fixed tree of IEEE double ops, and hash-matches the
+    (doc_id, dl, score) top-k relation."""
+    from ddsketch_ruby_spark.operators.retrieval import bm25_topk
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "text", "doc_id", _BM25_QUERY, k=10
+    )
+
+
+_BM25_QUERY = "fast hash join order stream"
+
+
+def _bm25_oracle_sql(query: str, k: int, k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirrors bm25_scores op-for-op: same tokenizer, same idf/tf/norm
+    expression tree (float constants inlined via _dlit), same 1e6
+    integer rounding, same (score desc, doc_id) ranking."""
+    from ddsketch_ruby_spark.operators.retrieval import query_terms
+
+    terms = query_terms(query)
+    tf_cols = ",\n  ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n  ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    avg = "(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))"
+    parts = " + ".join(
+        f"CAST(ROUND(LN(1.0 + ((CAST(n AS DOUBLE) - CAST(df_{i} AS DOUBLE))"
+        f" + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf_{i} AS DOUBLE) * {_dlit(k1 + 1.0)})"
+        f" / (CAST(tf_{i} AS DOUBLE) + {_dlit(k1)} * ({_dlit(1.0 - b)}"
+        f" + ({_dlit(b)} * (CAST(dl AS DOUBLE) / {avg})))))"
+        f" * 1000000.0) AS BIGINT)"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '([A-Za-z0-9]+)', 1),
+                        x -> lower(x)) AS toks
+  FROM documents
+),
+perdoc AS (SELECT doc_id, len(toks) AS dl, {tf_cols} FROM base),
+stats AS (SELECT COUNT(*) AS n, SUM(dl) AS tot, {df_cols} FROM perdoc),
+scored AS (SELECT p.doc_id, p.dl, ({parts}) AS si FROM perdoc p, stats),
+r AS (
+  SELECT doc_id, dl, si,
+         ROW_NUMBER() OVER (ORDER BY si DESC, doc_id) AS rn
+  FROM scored WHERE si > 0
+)
+SELECT doc_id, dl, CAST(si AS DOUBLE) / 1000000.0 AS score
+FROM r WHERE rn <= {k}
+"""
+
+
 def _q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise distinct-user overlap between event types via HLL
     inclusion-exclusion (operators/frequency.py hll_overlap). The HLL
@@ -2119,6 +2182,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_join_exhaustive": _q_ivf_ann_join_exhaustive,
     "weighted_sample_documents": _q_weighted_sample_docs,
     "hll_overlap_event_types": _q_hll_overlap,
+    "bm25_topk_documents": _q_bm25_topk,
     "ddsketch_price_by_brand": _q_ddsketch_price_by_brand,
     "props_k_stats": _q_props_k_stats,
     "ddsketch_events_quantiles": _q_events_quantiles,
@@ -2149,12 +2213,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters_documents": _q_dedup_clusters,
     "dedup_collapse_documents": _q_dedup_collapse,
     "bpe_token_documents": _q_bpe_tokens,
-    "ngram_jaccard_exact": lambda spark, sf_dir: __import__(
-        "ddsketch_ruby_spark.operators.dedup", fromlist=["ngram_jaccard_exact"]
-    ).ngram_jaccard_exact(
-        _tables(spark, sf_dir, "documents")[0], "text", "doc_id",
-        min_jaccard=0.5, max_doc_freq=100,
-    ),
     "hll_users_by_type": _q_hll_users_by_type,
     "tdigest_price_by_returnflag": _q_tdigest_price,
     "kll_quantity_quantiles": _q_kll_quantity,
@@ -2186,6 +2244,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ).cosine_pairs_exact(
         _tables(spark, sf_dir, "embeddings")[0], "embedding", "vec_id",
         min_cosine=0.3,
+    ),
+    "ngram_jaccard_exact": lambda spark, sf_dir: __import__(
+        "ddsketch_ruby_spark.operators.dedup", fromlist=["ngram_jaccard_exact"]
+    ).ngram_jaccard_exact(
+        _tables(spark, sf_dir, "documents")[0], "text", "doc_id",
+        min_jaccard=0.5, max_doc_freq=100,
     ),
 }
 
@@ -3523,6 +3587,7 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 # registered) ngram_jaccard_exact SQL as the edge source
 ORACLES["weighted_sample_documents"] = _weighted_sample_oracle_sql(k=20)
 ORACLES["hll_overlap_event_types"] = _hll_overlap_oracle_sql()
+ORACLES["bm25_topk_documents"] = _bm25_oracle_sql(_BM25_QUERY, k=10)
 ORACLES["dedup_clusters_documents"] = _dedup_clusters_oracle_sql()
 ORACLES["dedup_collapse_documents"] = _dedup_collapse_oracle_sql()
 ORACLES["dedup_corpus_documents"] = _dedup_corpus_oracle_sql()

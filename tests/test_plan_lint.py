@@ -31,6 +31,10 @@ _ALLOW_NESTED_LOOP = {
     # sketch_agg) with an inequality condition — bounded by group
     # cardinality, never by input rows
     "hll_overlap_event_types",
+    # bm25 joins the ONE-row broadcast corpus-stats aggregate back to the
+    # per-doc frame; the literal join key constant-folds so Catalyst
+    # plans BNLJ, but the build side is a single row by construction
+    "bm25_topk_documents",
 }
 
 
