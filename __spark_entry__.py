@@ -720,6 +720,60 @@ def _q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("event_type", F.round("approx_distinct", 3).alias("approx_distinct"))
 
 
+def _q_sketch_partition_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven equi-depth range partitioning (operators/
+    partitioning.py sketch_range_partition): boundaries are the
+    DDSketch 1/16..15/16 quantiles (rounded to 6 decimals — the same
+    rounding the quantile oracles use, so DuckDB rebuilds the IDENTICAL
+    boundary list via the full sketch SQL pipeline), bucket id = count
+    of boundaries <= value as a JVM array expression. The gate pins the
+    per-bucket (count, min, max) histogram — i.e. the exact bucket
+    assignment of every row, which is what a 1000-executor repartition
+    would consume. The 15-double boundary collect is the operator's
+    intended reuse surface (bounded by construction)."""
+    from ddsketch_ruby_spark.operators.partitioning import (
+        range_bucket,
+        sketch_boundaries,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    ev = events.filter(F.col("value") > 0)
+    bounds = sketch_boundaries(ev, "value", 16)
+    return (
+        ev.withColumn("bucket", range_bucket("value", bounds))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+        )
+    )
+
+
+def _sketch_partition_oracle_sql(n_buckets: int = 16) -> str:
+    """Boundary values via the full DDSketch SQL oracle (bit-identical
+    quantiles), then the same ties-go-right COUNT(boundary <= value)
+    assignment, aggregated to the per-bucket histogram."""
+    qs = {f"b{i:04d}": i / n_buckets for i in range(1, n_buckets)}
+    inner = _ddsketch_oracle_sql("value", "events", [], qs)
+    return f"""
+WITH ev AS (SELECT value FROM events WHERE value > 0),
+bounds AS (SELECT qvalue FROM ({inner}) t),
+evr AS (SELECT value, ROW_NUMBER() OVER () AS rid FROM ev),
+assigned AS (
+  SELECT evr.rid, evr.value,
+         COUNT(CASE WHEN b.qvalue <= evr.value THEN 1 END) AS bucket
+  FROM evr CROSS JOIN bounds b
+  GROUP BY evr.rid, evr.value
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(MIN(value), 6) AS min_v,
+       ROUND(MAX(value), 6) AS max_v
+FROM assigned GROUP BY bucket
+"""
+
+
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 retrieval (operators/retrieval.py): per-term score
     contributions are rounded to 1e-6 integers before summing, so the
@@ -2183,6 +2237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_documents": _q_weighted_sample_docs,
     "hll_overlap_event_types": _q_hll_overlap,
     "bm25_topk_documents": _q_bm25_topk,
+    "sketch_partition_events": _q_sketch_partition_events,
     "ddsketch_price_by_brand": _q_ddsketch_price_by_brand,
     "props_k_stats": _q_props_k_stats,
     "ddsketch_events_quantiles": _q_events_quantiles,
@@ -3588,6 +3643,7 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 ORACLES["weighted_sample_documents"] = _weighted_sample_oracle_sql(k=20)
 ORACLES["hll_overlap_event_types"] = _hll_overlap_oracle_sql()
 ORACLES["bm25_topk_documents"] = _bm25_oracle_sql(_BM25_QUERY, k=10)
+ORACLES["sketch_partition_events"] = _sketch_partition_oracle_sql(n_buckets=16)
 ORACLES["dedup_clusters_documents"] = _dedup_clusters_oracle_sql()
 ORACLES["dedup_collapse_documents"] = _dedup_collapse_oracle_sql()
 ORACLES["dedup_corpus_documents"] = _dedup_corpus_oracle_sql()

@@ -24,7 +24,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_repartition", "with_salt", "partition_histogram"]
+__all__ = [
+    "salted_repartition",
+    "with_salt",
+    "partition_histogram",
+    "sketch_boundaries",
+    "range_bucket",
+    "sketch_range_partition",
+]
 
 
 def salted_repartition(
@@ -60,3 +67,84 @@ def partition_histogram(df: DataFrame) -> list[int]:
         .orderBy("pid")
         .collect()
     ]
+
+
+def sketch_boundaries(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    relative_accuracy: float = 0.01,
+    round_to: int = 6,
+    **sketch_kwargs,
+) -> list[float]:
+    """Equi-depth range boundaries from a distributed DDSketch build:
+    the (i/n)-quantiles for i in 1..n-1, rounded to ``round_to`` decimals
+    (the same rounding the SQL quantile oracles use, so boundary values
+    are bit-reproducible by any engine). One scan + the tiny two-phase
+    sketch shuffle; the collect is n-1 doubles — bounded by construction.
+
+    Accuracy contract: each boundary is within the sketch's alpha
+    relative-error bound of the true quantile, so bucket populations are
+    N/n up to O(alpha * N) — good enough to bound any post-repartition
+    task at ~1/n of the data regardless of value skew."""
+    from .quantiles import ddsketch_quantiles_long
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if n_buckets == 1:
+        return []
+    qs = {f"b{i:04d}": i / n_buckets for i in range(1, n_buckets)}
+    rows = ddsketch_quantiles_long(
+        df,
+        value_col,
+        quantiles=qs,
+        relative_accuracy=relative_accuracy,
+        round_to=round_to,
+        **sketch_kwargs,
+    ).collect()
+    by_name = {r["qname"]: r["qvalue"] for r in rows}
+    return [by_name[n] for n in sorted(by_name)]
+
+
+def range_bucket(value_col: str, boundaries: list[float]):
+    """Bucket id = number of boundaries <= value, as a pure JVM array
+    expression (ties go right: a row equal to boundary i lands in bucket
+    i+1 — mirrored by the SQL oracle's COUNT(qvalue <= value))."""
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    v = F.col(value_col).cast("double")
+    return F.size(F.filter(arr, lambda b: b <= v))
+
+
+def sketch_range_partition(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    boundaries: list[float] | None = None,
+    bucket_col_name: str = "__bucket",
+    repartition: bool = True,
+    **boundary_kwargs,
+) -> DataFrame:
+    """Equi-depth range repartitioning driven by the sketch: balanced
+    output partitions for ANY value distribution, at the cost of one
+    extra scan (the sketch build) instead of the sort-based sampling
+    ``repartitionByRange`` does.
+
+    Compared to ``repartitionByRange``: boundaries are deterministic
+    (no sampling RNG), reusable across jobs (pass ``boundaries=`` from a
+    previous/persisted build), and carry the sketch's alpha guarantee.
+    Pathological single-VALUE skew (one value holding >> 1/n of rows)
+    cannot be split by any range scheme — compose with ``with_salt``.
+
+    Returns ``df`` with ``bucket_col_name`` added and (by default) hash-
+    repartitioned into ``n_buckets`` partitions on it."""
+    if boundaries is None:
+        boundaries = sketch_boundaries(
+            df, value_col, n_buckets, **boundary_kwargs
+        )
+    out = df.withColumn(bucket_col_name, range_bucket(value_col, boundaries))
+    if repartition:
+        # range- (not hash-) partition the bucket ids: with n distinct
+        # ids into n partitions each bucket keeps its own partition —
+        # pmod(hash(id), n) would birthday-collide buckets together
+        out = out.repartitionByRange(n_buckets, F.col(bucket_col_name))
+    return out
