@@ -792,6 +792,33 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_QUERY = "fast hash join order stream"
 
 
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy hitters (operators/retrieval.py vocab_topk):
+    classic wordcount with map-side combine + TakeOrderedAndProject.
+    Counts are exact integers; ties break by term, so the (term, n)
+    top-k relation is fully deterministic."""
+    from ddsketch_ruby_spark.operators.retrieval import vocab_topk
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return vocab_topk(docs, "text", k=50)
+
+
+_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT unnest(list_transform(
+           regexp_extract_all(text, '([A-Za-z0-9]+)', 1),
+           x -> lower(x))) AS term
+  FROM documents
+),
+counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY term),
+r AS (
+  SELECT term, n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rn
+  FROM counts
+)
+SELECT term, n FROM r WHERE rn <= 50
+"""
+
+
 def _bm25_oracle_sql(query: str, k: int, k1: float = 1.2, b: float = 0.75) -> str:
     """Mirrors bm25_scores op-for-op: same tokenizer, same idf/tf/norm
     expression tree (float constants inlined via _dlit), same 1e6
@@ -2238,8 +2265,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_overlap_event_types": _q_hll_overlap,
     "bm25_topk_documents": _q_bm25_topk,
     "sketch_partition_events": _q_sketch_partition_events,
+    "vocab_topk_documents": _q_vocab_topk,
     "ddsketch_price_by_brand": _q_ddsketch_price_by_brand,
-    "props_k_stats": _q_props_k_stats,
     "ddsketch_events_quantiles": _q_events_quantiles,
     "ddsketch_doclen_by_lang": _q_doclen_by_lang,
     "ddsketch_price_by_returnflag": _q_price_by_returnflag,
@@ -2268,7 +2295,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters_documents": _q_dedup_clusters,
     "dedup_collapse_documents": _q_dedup_collapse,
     "bpe_token_documents": _q_bpe_tokens,
-    "hll_users_by_type": _q_hll_users_by_type,
     "tdigest_price_by_returnflag": _q_tdigest_price,
     "kll_quantity_quantiles": _q_kll_quantity,
     "ivf_recall_planted": _q_ivf_recall_planted,
@@ -2306,6 +2332,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _tables(spark, sf_dir, "documents")[0], "text", "doc_id",
         min_jaccard=0.5, max_doc_freq=100,
     ),
+    "hll_users_by_type": _q_hll_users_by_type,
+    "props_k_stats": _q_props_k_stats,
 }
 
 DRIVER_GATE_WINDOW = 50  # observed driver truncation (CORRECTNESS_r03)
@@ -3644,6 +3672,7 @@ ORACLES["weighted_sample_documents"] = _weighted_sample_oracle_sql(k=20)
 ORACLES["hll_overlap_event_types"] = _hll_overlap_oracle_sql()
 ORACLES["bm25_topk_documents"] = _bm25_oracle_sql(_BM25_QUERY, k=10)
 ORACLES["sketch_partition_events"] = _sketch_partition_oracle_sql(n_buckets=16)
+ORACLES["vocab_topk_documents"] = _VOCAB_ORACLE
 ORACLES["dedup_clusters_documents"] = _dedup_clusters_oracle_sql()
 ORACLES["dedup_collapse_documents"] = _dedup_collapse_oracle_sql()
 ORACLES["dedup_corpus_documents"] = _dedup_corpus_oracle_sql()

@@ -34,7 +34,7 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_scores", "bm25_topk", "query_terms"]
+__all__ = ["bm25_scores", "bm25_topk", "query_terms", "vocab_topk"]
 
 _TOKEN_RE = "([A-Za-z0-9]+)"
 _SCALE = 1_000_000.0
@@ -135,3 +135,26 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str,
+    k: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary heavy hitters: (term, n) for the k most frequent
+    tokens (ties broken by term ascending), using the same tokenizer as
+    BM25 so retrieval and vocabulary agree on what a token is.
+
+    Plan shape: explode -> Tungsten partial count per term (map-side
+    combine bounds the shuffle at distinct-terms-per-partition, not
+    token occurrences) -> final count -> TakeOrderedAndProject. The
+    classic wordcount, and the classic right plan for it."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    toks = df.select(F.explode(_tokens(text_col)).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").alias("n"))
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    return counts.orderBy(F.col("n").desc(), F.col("term")).limit(k)

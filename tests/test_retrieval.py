@@ -79,3 +79,18 @@ def test_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # per-token explode never appears: tf is an array-expression column
     assert "Generate" not in plan
+
+
+def test_vocab_topk_counts_and_order(spark):
+    from ddsketch_ruby_spark.operators.retrieval import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "b a a C c"), (2, "a b! b")], "doc_id long, text string"
+    )
+    rows = vocab_topk(df, "text", k=2).collect()
+    # a:3, b:3, c:2 -> top-2 is a,b (tie broken by term)
+    assert [(r["term"], r["n"]) for r in rows] == [("a", 3), ("b", 3)]
+    full = vocab_topk(df, "text", k=10, min_count=3).collect()
+    assert {r["term"] for r in full} == {"a", "b"}
+    plan = vocab_topk(df, "text", k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
