@@ -792,6 +792,66 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_QUERY = "fast hash join order stream"
 
 
+_CDF_PROBES = [1.0, 10.0, 50.0, 100.0, 500.0]
+
+
+def _q_ddsketch_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse quantile query (operators/quantiles.py ddsketch_cdf):
+    cdf(p) = P[bucket(X) <= bucket(p)] per event_type at five literal
+    probes. Each probe's bucket key is resolved at plan time through
+    the KERNEL mapping and the whole query is one groupBy of
+    conditional sums; DuckDB recomputes the same bucket keys with the
+    bit-compatible LN/LOG2 expression and the same counts."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_cdf
+
+    (events,) = _tables(spark, sf_dir, "events")
+    out = ddsketch_cdf(
+        events.filter(F.col("value") > 0),
+        "value",
+        _CDF_PROBES,
+        ["event_type"],
+    )
+    return out.select(
+        "event_type", "probe", F.round("cdf", 6).alias("cdf")
+    )
+
+
+def _ddsketch_cdf_oracle_sql(probes: list[float]) -> str:
+    """Replays ddsketch_cdf for positive data and positive probes: the
+    same plan-time kernel bucket key per probe (inlined as an integer
+    literal), the same LN-ratio key expression per row, the same
+    conditional counts and double division."""
+    from ddsketch_ruby_spark.kernel.mapping import mapping_from_name
+
+    m = mapping_from_name("logarithmic", ALPHA, 0.0)
+    mult = m._multiplier
+    keys = [int(m.key(p)) for p in probes]
+    cnt_cols = ",\n  ".join(
+        f"SUM(CASE WHEN kk <= {k} THEN 1 ELSE 0 END) AS c_{i}"
+        for i, k in enumerate(keys)
+    )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT event_type, {_dlit(p)} AS probe,"
+        f" ROUND(CAST(c_{i} AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cdf"
+        f" FROM agg"
+        for i, p in enumerate(probes)
+    )
+    return f"""
+WITH src AS (SELECT event_type, value AS v FROM events WHERE value > 0),
+k AS (
+  SELECT event_type,
+         CAST(CEIL(LN(v) / LN(2.0) * {_dlit(mult)}) AS BIGINT) AS kk
+  FROM src
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n,
+  {cnt_cols}
+  FROM k GROUP BY event_type
+)
+{sel}
+"""
+
+
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary heavy hitters (operators/retrieval.py vocab_topk):
     classic wordcount with map-side combine + TakeOrderedAndProject.
@@ -2266,7 +2326,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_documents": _q_bm25_topk,
     "sketch_partition_events": _q_sketch_partition_events,
     "vocab_topk_documents": _q_vocab_topk,
-    "ddsketch_price_by_brand": _q_ddsketch_price_by_brand,
+    "ddsketch_cdf_events": _q_ddsketch_cdf,
     "ddsketch_events_quantiles": _q_events_quantiles,
     "ddsketch_doclen_by_lang": _q_doclen_by_lang,
     "ddsketch_price_by_returnflag": _q_price_by_returnflag,
@@ -2334,6 +2394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "hll_users_by_type": _q_hll_users_by_type,
     "props_k_stats": _q_props_k_stats,
+    "ddsketch_price_by_brand": _q_ddsketch_price_by_brand,
 }
 
 DRIVER_GATE_WINDOW = 50  # observed driver truncation (CORRECTNESS_r03)
@@ -3673,6 +3734,7 @@ ORACLES["hll_overlap_event_types"] = _hll_overlap_oracle_sql()
 ORACLES["bm25_topk_documents"] = _bm25_oracle_sql(_BM25_QUERY, k=10)
 ORACLES["sketch_partition_events"] = _sketch_partition_oracle_sql(n_buckets=16)
 ORACLES["vocab_topk_documents"] = _VOCAB_ORACLE
+ORACLES["ddsketch_cdf_events"] = _ddsketch_cdf_oracle_sql(_CDF_PROBES)
 ORACLES["dedup_clusters_documents"] = _dedup_clusters_oracle_sql()
 ORACLES["dedup_collapse_documents"] = _dedup_collapse_oracle_sql()
 ORACLES["dedup_corpus_documents"] = _dedup_corpus_oracle_sql()

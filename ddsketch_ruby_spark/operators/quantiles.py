@@ -41,6 +41,7 @@ __all__ = [
     "ddsketch_multi",
     "ddsketch_state",
     "ddsketch_quantile_of_quantiles",
+    "ddsketch_cdf",
 ]
 
 
@@ -239,3 +240,76 @@ def ddsketch_state(
         engine, df, spec, value_col, list(group_by), weight_col, "state",
         tree_fanin,
     )
+
+
+def ddsketch_cdf(
+    df: DataFrame,
+    value_col: str,
+    probes: Iterable[float],
+    group_by: Iterable[str] = (),
+    relative_accuracy: float = DEFAULT_REL_ACC,
+    mapping: str = "logarithmic",
+    mapping_offset: float = 0.0,
+) -> DataFrame:
+    """Inverse quantile query: the sketch-resolution CDF estimate at
+    literal probe values — cdf(p) = P[bucket(X) <= bucket(p)], i.e. the
+    fraction of values landing at or below p's bucket (everything in
+    p's own bucket counts as <= p; values are within alpha of p there,
+    so |cdf_est(p) - cdf_true(p)| is bounded by the mass of ONE
+    gamma-bucket). Long output: (group..., probe, cdf).
+
+    Execution: because probes are literals, each probe's bucket key is
+    resolved at plan time through the KERNEL mapping (the semantics
+    oracle), and the whole query becomes ONE groupBy aggregate of
+    conditional sums — no join, no second pass, shuffle volume = groups
+    x (|probes| + 1) longs. The three-zone routing (negative / zero /
+    positive, kernel/sketch.py add) is baked per probe into its
+    predicate."""
+    from ..kernel.mapping import mapping_from_name
+
+    group_by = list(group_by)
+    probes = [float(p) for p in probes]
+    if not probes:
+        raise ValueError("probes must be non-empty")
+    m = mapping_from_name(mapping, relative_accuracy, mapping_offset)
+    mp = m.min_possible
+    v = F.col(value_col).cast("double")
+    src = df.where(v.isNotNull() & ~F.isnan(v))
+    neg = v < F.lit(-mp)
+    zero = (v >= F.lit(-mp)) & (v <= F.lit(mp))
+
+    from .ddsketch_jvm import key_column
+
+    # guard the key expression behind the zone test: vectorized eval does
+    # not short-circuit, and key_column(0) would CEIL(-inf) under ANSI
+    key_pos = F.when(neg | (v > F.lit(mp)), key_column(m, F.abs(v))).otherwise(
+        F.lit(0)
+    )
+    cnt_cols = []
+    for i, p in enumerate(probes):
+        if p > mp:
+            kp = int(m.key(p))
+            cond = neg | zero | ((v > F.lit(mp)) & (key_pos <= F.lit(kp)))
+        elif p < -mp:
+            kp = int(m.key(-p))
+            cond = neg & (key_pos >= F.lit(kp))
+        else:
+            cond = neg | zero
+        cnt_cols.append(
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(f"__c_{i}")
+        )
+    agg = (
+        src.groupBy(*group_by) if group_by else src.groupBy(F.lit(1).alias("__g"))
+    ).agg(F.count("*").alias("__n"), *cnt_cols)
+    n_d = F.col("__n").cast("double")
+    pairs = [
+        F.struct(
+            F.lit(p).alias("probe"),
+            (F.col(f"__c_{i}").cast("double") / n_d).alias("cdf"),
+        )
+        for i, p in enumerate(probes)
+    ]
+    out = agg.select(
+        *group_by, F.explode(F.array(*pairs)).alias("__pc")
+    ).select(*group_by, F.col("__pc.probe").alias("probe"), F.col("__pc.cdf").alias("cdf"))
+    return out

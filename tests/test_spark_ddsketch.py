@@ -391,3 +391,72 @@ def test_cross_check_vs_spark_builtin_percentile(spark, events):
         assert abs(ours[name] - ref) <= 2 * ALPHA * abs(ref) + 1e-9, (
             name, ours[name], ref,
         )
+
+
+def test_cdf_inverse_of_quantiles(spark, events):
+    """cdf(quantile(q)) must bracket q within one gamma-bucket of mass:
+    the probe lands in the bucket the quantile value came from, so the
+    estimated rank includes that whole bucket."""
+    import numpy as np
+
+    from ddsketch_ruby_spark.operators.quantiles import (
+        ddsketch_cdf,
+        ddsketch_quantiles,
+    )
+
+    pos = events.filter("value > 0")
+    qrow = ddsketch_quantiles(pos, "value", quantiles=(0.25, 0.5, 0.9)).collect()[0]
+    vals = np.sort(
+        np.array([r["value"] for r in pos.select("value").collect()])
+    )
+    for q in (0.25, 0.5, 0.9):
+        probe = qrow[f"q{int(q*100)}"]
+        (r,) = ddsketch_cdf(pos, "value", [probe]).collect()
+        # exact mass of the probe's own bucket (gamma-interval around it)
+        gamma = (1 + 0.01) / (1 - 0.01)
+        bucket_mass = (
+            np.searchsorted(vals, probe * gamma, side="right")
+            - np.searchsorted(vals, probe / gamma, side="left")
+        ) / len(vals)
+        assert q - bucket_mass <= r["cdf"] <= q + bucket_mass + 1e-9, (
+            q, r["cdf"], bucket_mass,
+        )
+
+
+def test_cdf_three_zone_routing(spark):
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_cdf
+
+    df = spark.createDataFrame(
+        [(-100.0,), (-10.0,), (0.0,), (5.0,), (50.0,), (500.0,)], "v double"
+    )
+    got = {
+        r["probe"]: r["cdf"]
+        for r in ddsketch_cdf(
+            df, "v", [-50.0, -10.0, 0.0, 5.0, 1000.0]
+        ).collect()
+    }
+    assert got[-50.0] == pytest.approx(1 / 6)   # only -100 is <= -50's bucket
+    assert got[-10.0] == pytest.approx(2 / 6)
+    assert got[0.0] == pytest.approx(3 / 6)     # negatives + the zero
+    assert got[5.0] == pytest.approx(4 / 6)
+    assert got[1000.0] == pytest.approx(1.0)
+
+
+def test_cdf_monotone_and_partition_invariant(spark, events):
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_cdf
+
+    pos = events.filter("value > 0")
+    probes = [1.0, 10.0, 100.0, 1000.0]
+    a = sorted(
+        (r["probe"], r["cdf"])
+        for r in ddsketch_cdf(pos.repartition(1), "value", probes).collect()
+    )
+    b = sorted(
+        (r["probe"], r["cdf"])
+        for r in ddsketch_cdf(pos.repartition(9), "value", probes).collect()
+    )
+    assert a == b
+    cdfs = [c for _, c in a]
+    assert cdfs == sorted(cdfs)
+    with pytest.raises(ValueError):
+        ddsketch_cdf(pos, "value", [])
