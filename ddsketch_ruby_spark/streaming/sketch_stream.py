@@ -35,6 +35,7 @@ __all__ = [
     "sketch_stream_hist",
     "stream_stream_latency_join",
     "stream_session_stats",
+    "stream_weighted_sample",
 ]
 
 
@@ -331,4 +332,98 @@ def stream_session_stats(
         src.groupBy(F.session_window(F.col(ts_col), gap).alias("__sw"), *by)
         .agg(*aggs)
         .drop("__sw")
+    )
+
+
+def stream_weighted_sample(
+    stream_df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    strata: list[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Streaming sequential Poisson sample: per stratum, hold the k
+    smallest priorities xi = u(id)/weight seen so far (operators/
+    sampling.py semantics). Because xi is a PURE FUNCTION of (id,
+    weight, seed), "k smallest over the union" is order-insensitive —
+    the streamed sample after the last micro-batch is EXACTLY the batch
+    ``weighted_sample`` of the union of all micro-batches, regardless
+    of how rows were split into triggers. State per stratum is the k
+    (xi, id) pairs plus an emission counter; each trigger re-emits the
+    stratum's current sample tagged with ``seq`` (take the max-seq rows
+    per stratum for the final sample).
+
+    Scale shape: the xi expression runs JVM-side on the stream; the
+    stateful operator shuffles only (strata, id, xi) — the same thin
+    selection rows as the batch path — and holds O(k) state per
+    stratum."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if not strata:
+        raise ValueError("stream_weighted_sample requires strata keys")
+    from ..operators.sampling import sample_key
+
+    keyed = (
+        stream_df.filter(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .withColumn("__xi", sample_key(id_col, weight_col, seed))
+        .select(*strata, id_col, "__xi")
+    )
+    by_name = {f.name: f for f in keyed.schema.fields}
+    strata_fields = [by_name[g] for g in strata]
+    id_field = by_name[id_col]
+    state_schema = T.StructType(
+        [
+            T.StructField("xis", T.ArrayType(T.DoubleType())),
+            T.StructField("ids", T.ArrayType(id_field.dataType)),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    out_schema = T.StructType(
+        strata_fields
+        + [
+            T.StructField("seq", T.LongType()),
+            id_field,
+            T.StructField("sample_key", T.DoubleType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            xis, ids, seq = state.get
+            pairs = list(zip(xis, ids))
+        else:
+            pairs, seq = [], 0
+        for pdf in pdfs:
+            pairs.extend(
+                zip(
+                    (float(x) for x in pdf["__xi"]),
+                    (_plain(i) for i in pdf[id_col]),
+                )
+            )
+        pairs.sort()
+        pairs = pairs[:k]
+        seq = int(seq) + 1
+        state.update(
+            ([p[0] for p in pairs], [p[1] for p in pairs], seq)
+        )
+        base = dict(zip(strata, key))
+        yield pd.DataFrame(
+            [
+                {**base, "seq": seq, id_col: i, "sample_key": x}
+                for x, i in pairs
+            ],
+            columns=out_schema.names,
+        )
+
+    return keyed.groupBy(*strata).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -454,3 +454,64 @@ def test_stream_collapsed_store_converges_to_batch(spark, stream_dir):
         for q in ("q10", "q50", "q99"):
             assert final.loc[et, q] == pytest.approx(r[q], rel=1e-12), (et, q)
         assert final.loc[et, "count"] == r["count"]
+
+
+def test_stream_weighted_sample_equals_batch(spark, tmp_path):
+    """The streamed per-stratum top-k priority sample must equal the
+    BATCH weighted_sample of the union, for any micro-batch split — the
+    priority is a pure function of (id, weight), so k-smallest-over-
+    union is order-insensitive."""
+    from ddsketch_ruby_spark.operators.sampling import weighted_sample
+    from ddsketch_ruby_spark.streaming.sketch_stream import (
+        stream_weighted_sample,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang", "n_chars")
+    d = str(tmp_path / "src")
+    for i in range(4):  # a DIFFERENT split than the driver gate's 3
+        docs.filter(f"doc_id % 4 = {i}").coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    sampled = stream_weighted_sample(
+        stream, "doc_id", "n_chars", k=7, strata=["lang"]
+    )
+    q = (
+        sampled.writeStream.format("memory")
+        .queryName("sws_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(120)
+    t = spark.table("sws_test")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang")
+    got = sorted(
+        (r["lang"], r["doc_id"], r["sample_key"])
+        for r in t.withColumn("__m", F.max("seq").over(w))
+        .filter("seq = __m")
+        .collect()
+    )
+    want = sorted(
+        (r["lang"], r["doc_id"], r["sample_key"])
+        for r in weighted_sample(
+            docs, "doc_id", "n_chars", k=7, strata=["lang"]
+        )
+        .select("lang", "doc_id", "sample_key")
+        .collect()
+    )
+    assert got == want
+    # state bound: every emission carries <= k rows per (lang, seq)
+    per = (
+        t.groupBy("lang", "seq").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert per <= 7
