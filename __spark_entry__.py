@@ -945,6 +945,95 @@ def _q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct union/intersection/Jaccard via KMV set ops
+    (operators/frequency.py kmv_overlap, sketches/kmv.py). Unlike HLL
+    inclusion-exclusion, the k smallest hashes of A ∪ B are a uniform
+    sample of the union, so Jaccard is estimated DIRECTLY. The element
+    is ``event_id DIV 4`` (coarse event buckets — the interleaving of
+    types gives each pair a nontrivial partial overlap, and the ~2.5k
+    distinct buckets per type exceed k=128 so the sf0.01 gate exercises
+    the ESTIMATOR, not the exact small-set path). Every output value is
+    a pure function of the distinct-hash sets (k-smallest selection +
+    two correctly-rounded float ops), so DuckDB replays the estimates
+    bit-identically from the same xxhash64 chain."""
+    from ddsketch_ruby_spark.operators.frequency import kmv_overlap
+
+    (events,) = _tables(spark, sf_dir, "events")
+    hashed = events.select(
+        "event_type", F.xxhash64(F.expr("event_id DIV 4")).alias("h")
+    )
+    res = kmv_overlap(hashed, "h", "event_type", k=128)
+    return res.select(
+        "type_a",
+        "type_b",
+        *[
+            F.round(c, 6).alias(c)
+            for c in ("est_a", "est_b", "est_union", "jaccard", "est_intersect")
+        ],
+    )
+
+
+def _kmv_overlap_oracle_sql(k: int = 128) -> str:
+    """KMV overlap replayed exactly: distinct xxhash64(event_id // 4) per
+    type, per-type k smallest -> estimator, per-pair k smallest of the
+    distinct union with both-membership flags -> union estimate, Jaccard
+    rho = both/k', intersection = rho * union — the same float expressions
+    in the same order as sketches/kmv.py (k-smallest-of-union equals
+    union-of-k-smallest truncated, and membership against the truncated
+    per-type states is lossless for hashes inside the union top-k)."""
+    frag, fin, h = _xxh64_chain("kv", "src")
+    est_case = (
+        f"CASE WHEN kt < {k} THEN CAST(kt AS DOUBLE) "
+        f"ELSE CAST({k - 1} AS DOUBLE) / (CAST(hk AS DOUBLE) * POWER(2.0, -64)) END"
+    )
+    return f"""
+WITH src AS (SELECT event_type, event_id // 4 AS x FROM events){frag},
+dh AS (SELECT DISTINCT event_type, {h} AS h FROM {fin}),
+types AS (SELECT DISTINCT event_type FROM dh),
+prs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+uh AS (
+  SELECT p.ta, p.tb, d.h,
+         MAX(CASE WHEN d.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN d.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+  FROM prs p JOIN dh d ON d.event_type IN (p.ta, p.tb)
+  GROUP BY p.ta, p.tb, d.h
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn FROM uh
+),
+ua AS (
+  SELECT ta, tb, COUNT(*) AS kt, MAX(h) AS hk,
+         SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS rho
+  FROM rk WHERE rn <= {k} GROUP BY ta, tb
+),
+tr AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM dh
+),
+tagg AS (
+  SELECT event_type, COUNT(*) AS kt, MAX(h) AS hk
+  FROM tr WHERE rn <= {k} GROUP BY event_type
+),
+et AS (SELECT event_type, {est_case} AS est FROM tagg),
+ue AS (SELECT ta, tb, rho, kt AS ku, {est_case} AS eu FROM ua)
+SELECT u.ta AS type_a, u.tb AS type_b,
+       ROUND(ea.est, 6) AS est_a,
+       ROUND(eb.est, 6) AS est_b,
+       ROUND(u.eu, 6) AS est_union,
+       ROUND(CAST(u.rho AS DOUBLE) / CAST(u.ku AS DOUBLE), 6) AS jaccard,
+       ROUND((CAST(u.rho AS DOUBLE) / CAST(u.ku AS DOUBLE)) * u.eu, 6)
+         AS est_intersect
+FROM ue u
+JOIN et ea ON ea.event_type = u.ta
+JOIN et eb ON eb.event_type = u.tb
+"""
+
+
 def _bound_checked(
     est: DataFrame,
     values: DataFrame,
@@ -2387,11 +2476,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_join_exhaustive": _q_ivf_ann_join_exhaustive,
     "weighted_sample_documents": _q_weighted_sample_docs,
     "hll_overlap_event_types": _q_hll_overlap,
+    "kmv_overlap_event_buckets": _q_kmv_overlap,
     "bm25_topk_documents": _q_bm25_topk,
     "sketch_partition_events": _q_sketch_partition_events,
     "vocab_topk_documents": _q_vocab_topk,
     "ddsketch_cdf_events": _q_ddsketch_cdf,
-    "ddsketch_events_quantiles": _q_events_quantiles,
     "ddsketch_doclen_by_lang": _q_doclen_by_lang,
     "ddsketch_price_by_returnflag": _q_price_by_returnflag,
     "ddsketch_cubic_events": _q_ddsketch_cubic,
@@ -2459,6 +2548,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_k_stats": _q_props_k_stats,
     "ddsketch_price_by_brand": _q_ddsketch_price_by_brand,
     "cosine_topk_embeddings": _q_cosine_topk,
+    "ddsketch_events_quantiles": _q_events_quantiles,
 }
 
 DRIVER_GATE_WINDOW = 50  # observed driver truncation (CORRECTNESS_r03)
@@ -3795,6 +3885,7 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 # registered) ngram_jaccard_exact SQL as the edge source
 ORACLES["weighted_sample_documents"] = _weighted_sample_oracle_sql(k=20)
 ORACLES["hll_overlap_event_types"] = _hll_overlap_oracle_sql()
+ORACLES["kmv_overlap_event_buckets"] = _kmv_overlap_oracle_sql(k=128)
 ORACLES["bm25_topk_documents"] = _bm25_oracle_sql(_BM25_QUERY, k=10)
 ORACLES["sketch_partition_events"] = _sketch_partition_oracle_sql(n_buckets=16)
 ORACLES["vocab_topk_documents"] = _VOCAB_ORACLE

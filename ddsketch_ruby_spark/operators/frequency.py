@@ -27,6 +27,7 @@ __all__ = [
     "bloom_filter_column",
     "hash_items",
     "hll_overlap",
+    "kmv_overlap",
 ]
 
 
@@ -202,6 +203,75 @@ def hll_overlap(
                 rows.append(
                     (ta, tb, ea, eb, eu, max(0.0, (ea + eb) - eu))
                 )
+            yield pd.DataFrame(rows, columns=out_schema.names)
+
+    return pairs.mapInPandas(est_pairs, schema=out_schema)
+
+
+def kmv_overlap(
+    df: DataFrame,
+    hash_col: str,
+    group_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """Pairwise distinct union / intersection / Jaccard estimates between
+    groups via KMV set operations (sketches/kmv.py).
+
+    Where ``hll_overlap`` gets the intersection only indirectly
+    (inclusion-exclusion — the error of THREE estimates compounds), the
+    k smallest hashes of A ∪ B are a uniform sample of the union, so the
+    fraction landing in both sets estimates the Jaccard similarity
+    DIRECTLY (Beyer et al. 2007 §4) with relative error ~1/sqrt(k·J).
+
+    Every output is a pure function of the distinct-hash SETS (k-smallest
+    selection + two correctly-rounded float ops), so the driver oracle
+    hash-matches the estimates themselves — no error-bound gate needed.
+
+    Scale shape: identical to hll_overlap — the distributed two-phase
+    state build dominates (shuffle rows are ≤ 8k-byte sorted arrays, one
+    per partition x group, row-count independent); pairing is a broadcast
+    nested loop over the g-row state frame (bounded by group cardinality,
+    never input rows); the estimator folds pairs of ≤k-long uint64 arrays
+    in NumPy inside mapInPandas."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..sketches.kmv import KmvSpec, kmv_estimate, kmv_intersect_stats
+
+    spec = KmvSpec(k)
+    states = sketch_agg(df, spec, hash_col, [group_col], output="state")
+    gtype = states.schema[group_col].dataType
+    a = states.select(
+        F.col(group_col).alias("type_a"), F.col("minima").alias("__ma")
+    )
+    b = states.select(
+        F.col(group_col).alias("type_b"), F.col("minima").alias("__mb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    out_schema = T.StructType(
+        [
+            T.StructField("type_a", gtype),
+            T.StructField("type_b", gtype),
+            T.StructField("est_a", T.DoubleType()),
+            T.StructField("est_b", T.DoubleType()),
+            T.StructField("est_union", T.DoubleType()),
+            T.StructField("jaccard", T.DoubleType()),
+            T.StructField("est_intersect", T.DoubleType()),
+        ]
+    )
+
+    def est_pairs(batches):
+        for pdf in batches:
+            rows = []
+            for ta, tb, ma_b, mb_b in zip(
+                pdf["type_a"], pdf["type_b"], pdf["__ma"], pdf["__mb"]
+            ):
+                ma = np.frombuffer(bytes(ma_b), dtype=np.uint64)
+                mb = np.frombuffer(bytes(mb_b), dtype=np.uint64)
+                ea = kmv_estimate(ma, k)
+                eb = kmv_estimate(mb, k)
+                eu, jac, ei = kmv_intersect_stats(ma, mb, k)
+                rows.append((ta, tb, ea, eb, eu, jac, ei))
             yield pd.DataFrame(rows, columns=out_schema.names)
 
     return pairs.mapInPandas(est_pairs, schema=out_schema)

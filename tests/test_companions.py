@@ -10,6 +10,11 @@ from ddsketch_ruby_spark.sketches.bloom import BloomSpec
 from ddsketch_ruby_spark.sketches.cms import CMSSpec
 from ddsketch_ruby_spark.sketches.hll import HLLSpec, hll_estimate
 from ddsketch_ruby_spark.sketches.kll import KLLSpec, kll_quantile, kll_rank
+from ddsketch_ruby_spark.sketches.kmv import (
+    KmvSpec,
+    kmv_estimate,
+    kmv_intersect_stats,
+)
 from ddsketch_ruby_spark.sketches.tdigest import TDigestSpec, tdigest_quantile
 
 
@@ -189,8 +194,9 @@ def test_kll_bounded_memory():
             lambda: KLLSpec(k=100),
             lambda: np.random.default_rng(4).uniform(0, 1, 2000),
         ),
+        (lambda: KmvSpec(k=64), lambda: _hash64(np.arange(1000))),
     ],
-    ids=["hll", "cms", "bloom", "tdigest", "kll"],
+    ids=["hll", "cms", "bloom", "tdigest", "kll", "kmv"],
 )
 def test_codec_round_trip(spec_fn, values):
     spec = spec_fn()
@@ -311,3 +317,99 @@ def test_hll_overlap_disjoint_clamps_at_zero(spark):
     (row,) = hll_overlap(hashed, "h", "grp").collect()
     assert row["est_intersect"] >= 0.0
     assert row["est_intersect"] <= 0.03 * 4000  # near-zero overlap estimate
+
+
+# ---------------------------------------------------------------- KMV
+@pytest.mark.parametrize("n", [100, 5_000, 200_000])
+def test_kmv_error_bound(n):
+    spec = KmvSpec(k=256)
+    st = spec.update(spec.zero(), _hash64(np.arange(n)))
+    est = kmv_estimate(st, spec.k)
+    if n < spec.k:
+        assert est == float(n)  # exact small-set path
+    else:
+        # relative standard error ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+        assert abs(est - n) / n < 4 / np.sqrt(spec.k - 2)
+
+
+def test_kmv_state_is_partitioning_invariant():
+    """The state is a pure function of the distinct-hash SET: any chunking,
+    any order, duplicates anywhere — identical sorted minima array."""
+    spec = KmvSpec(k=128)
+    h = _hash64(np.arange(50_000) % 9_000)
+    single = spec.update(spec.zero(), h)
+    merged = _split_update_merge(spec, h)
+    reversed_ = _split_update_merge(spec, h[::-1], parts=13)
+    assert np.array_equal(single, merged)
+    assert np.array_equal(single, reversed_)
+    assert len(single) == 128 and np.all(np.diff(single.view(np.uint64)) > 0)
+
+
+def test_kmv_intersect_tracks_exact_jaccard():
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 2**62, 30_000, dtype=np.int64)
+    A, B = vals[:20_000], vals[10_000:]  # ~1/3 Jaccard
+    spec = KmvSpec(k=512)
+    sa = spec.update(spec.zero(), _hash64(A))
+    sb = spec.update(spec.zero(), _hash64(B))
+    est_u, jac, est_i = kmv_intersect_stats(sa, sb, spec.k)
+    ua, ub = set(A.tolist()), set(B.tolist())
+    true_u, true_i = len(ua | ub), len(ua & ub)
+    true_j = true_i / true_u
+    # Jaccard sample of size k: std ~ sqrt(J(1-J)/k); 4 sigma
+    tol = 4 * np.sqrt(true_j * (1 - true_j) / spec.k)
+    assert abs(jac - true_j) < tol
+    assert abs(est_u - true_u) / true_u < 4 / np.sqrt(spec.k - 2)
+    assert abs(est_i - true_i) / true_u < tol + 4 / np.sqrt(spec.k - 2)
+
+
+def test_kmv_distributed_matches_kernel(spark, sf01_dir):
+    """sketch_agg over any partitioning reproduces the kernel state built
+    from the same JVM hashes — estimates are bit-identical."""
+    from ddsketch_ruby_spark.sketches.kmv import kmv_union
+
+    events = spark.read.parquet(f"{sf01_dir}/events.parquet")
+    hashed = events.select("event_type", F.xxhash64("user_id").alias("h"))
+    spec = KmvSpec(k=64)
+    for parts in (1, 7):
+        res = {
+            r["event_type"]: r["approx_distinct"]
+            for r in sketch_agg(
+                hashed.repartition(parts), spec, "h", ["event_type"]
+            ).collect()
+        }
+        pdf = hashed.toPandas()
+        for t, grp in pdf.groupby("event_type"):
+            st = spec.update(spec.zero(), grp["h"].to_numpy())
+            assert res[t] == kmv_estimate(st, spec.k), (t, parts)
+    # kmv_union of two sub-states equals the state of the union
+    h = pdf["h"].to_numpy()
+    full = spec.update(spec.zero(), h)
+    u = kmv_union(
+        spec.update(spec.zero(), h[: len(h) // 2]),
+        spec.update(spec.zero(), h[len(h) // 2 :]),
+        spec.k,
+    )
+    assert np.array_equal(full, u)
+
+
+def test_kmv_overlap_disjoint_and_identical(spark):
+    from ddsketch_ruby_spark.operators.frequency import kmv_overlap
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(3000)]
+        + [("b", 1_000_000 + i) for i in range(3000)]
+        + [("c", i) for i in range(3000)],
+        "grp string, uid long",
+    )
+    hashed = df.select("grp", F.xxhash64("uid").alias("h"))
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in kmv_overlap(hashed, "h", "grp", k=128).collect()
+    }
+    ab = got[("a", "b")]
+    assert ab["jaccard"] == 0.0 and ab["est_intersect"] == 0.0
+    ac = got[("a", "c")]  # identical sets: sketch-exact Jaccard 1
+    assert ac["jaccard"] == 1.0
+    assert ac["est_intersect"] == ac["est_union"]
+    assert ac["est_a"] == ac["est_b"] == ac["est_union"]

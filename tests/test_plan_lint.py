@@ -27,10 +27,11 @@ _ALLOW_NESTED_LOOP = {
     # estimates — a |qs|-row build side by construction (3 rows), so the
     # nested loop is a scan with 3 comparisons per row, not a join blowup
     "kll_quantity_quantiles",
-    # hll_overlap pairs two g-row STATE frames (one row per group after
-    # sketch_agg) with an inequality condition — bounded by group
-    # cardinality, never by input rows
+    # hll_overlap / kmv_overlap pair two g-row STATE frames (one row per
+    # group after sketch_agg) with an inequality condition — bounded by
+    # group cardinality, never by input rows
     "hll_overlap_event_types",
+    "kmv_overlap_event_buckets",
     # bm25 joins the ONE-row broadcast corpus-stats aggregate back to the
     # per-doc frame; the literal join key constant-folds so Catalyst
     # plans BNLJ, but the build side is a single row by construction
