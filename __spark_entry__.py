@@ -546,6 +546,49 @@ WHERE l.id IS NULL OR l.cluster_id = d.doc_id
 """
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination under the hard gate: documents with
+    doc_id % 37 == 0 play the held-out eval benchmark, the rest are the
+    training candidates; every candidate sharing ANY width-4 word n-gram
+    with the benchmark is flagged (n=4 because the synthetic 31-word
+    vocabulary makes 13/486 contaminated at sf0.01, so both outcomes
+    occur; real prose uses the conventional n=13). The oracle replays
+    the rule with DuckDB list lambdas — grams are matched as STRINGS on
+    both sides, no hashing anywhere, so the comparison is semantic, not
+    an implementation echo."""
+    from ddsketch_ruby_spark.operators.dedup import decontaminate
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    cand = docs.filter(F.col("doc_id") % 37 != 0)
+    return decontaminate(cand, bench, "text", "doc_id", n=4).select(
+        "doc_id", "contaminated"
+    )
+
+
+def _decontaminate_oracle_sql(n: int = 4) -> str:
+    return f"""
+WITH bench AS (SELECT text FROM documents WHERE doc_id % 37 = 0),
+cand AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0),
+bw AS (SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       FROM bench),
+bn AS (SELECT DISTINCT unnest(list_transform(
+         range(1, len(ws) - {n} + 2),
+         i -> array_to_string(ws[i:i + {n} - 1], ' '))) AS ng
+       FROM bw),
+cw AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       FROM cand),
+cn AS (SELECT DISTINCT doc_id, unnest(list_transform(
+         range(1, len(ws) - {n} + 2),
+         i -> array_to_string(ws[i:i + {n} - 1], ' '))) AS ng
+       FROM cw),
+hits AS (SELECT DISTINCT cn.doc_id FROM cn JOIN bn USING (ng))
+SELECT c.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM cand c LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ONE-CALL corpus cleaner (operators/dedup.py dedup_corpus) under
     the hard gate — the operator a user actually reaches for, not just its
@@ -2481,7 +2524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_partition_events": _q_sketch_partition_events,
     "vocab_topk_documents": _q_vocab_topk,
     "ddsketch_cdf_events": _q_ddsketch_cdf,
-    "ddsketch_doclen_by_lang": _q_doclen_by_lang,
+    "decontaminate_documents": _q_decontaminate,
     "ddsketch_price_by_returnflag": _q_price_by_returnflag,
     "ddsketch_cubic_events": _q_ddsketch_cubic,
     "ddsketch_rollup_doclen": _q_ddsketch_rollup,
@@ -2549,6 +2592,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_price_by_brand": _q_ddsketch_price_by_brand,
     "cosine_topk_embeddings": _q_cosine_topk,
     "ddsketch_events_quantiles": _q_events_quantiles,
+    "ddsketch_doclen_by_lang": _q_doclen_by_lang,
 }
 
 DRIVER_GATE_WINDOW = 50  # observed driver truncation (CORRECTNESS_r03)
@@ -3890,6 +3934,7 @@ ORACLES["bm25_topk_documents"] = _bm25_oracle_sql(_BM25_QUERY, k=10)
 ORACLES["sketch_partition_events"] = _sketch_partition_oracle_sql(n_buckets=16)
 ORACLES["vocab_topk_documents"] = _VOCAB_ORACLE
 ORACLES["ddsketch_cdf_events"] = _ddsketch_cdf_oracle_sql(_CDF_PROBES)
+ORACLES["decontaminate_documents"] = _decontaminate_oracle_sql(n=4)
 # stream = batch = SQL: the streamed sample must equal the batch sample
 ORACLES["stream_weighted_sample"] = _weighted_sample_oracle_sql(k=20)
 ORACLES["dedup_clusters_documents"] = _dedup_clusters_oracle_sql()

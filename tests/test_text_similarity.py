@@ -869,3 +869,73 @@ def test_simhash_pairs_bands_one_exact_fingerprint_match(spark, textdf):
         ).collect()
     }
     assert got == {(1, 4, 0)}
+
+
+def test_word_ngrams_widths_and_edges(spark):
+    from ddsketch_ruby_spark.operators.dedup import word_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c"),       # exactly n words -> one gram
+            (3, "a b"),         # shorter than n -> empty
+            (4, ""),            # empty text -> empty
+            (5, "  a   b  c "), # runs of spaces collapse to words
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", word_ngrams("text", 3).alias("g")).collect()
+    }
+    assert got[1] == ["a b c", "b c d", "c d e"]
+    assert got[2] == ["a b c"]
+    assert got[3] == []
+    assert got[4] == []
+    assert got[5] == ["a b c"]
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from ddsketch_ruby_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a quick brown fox ran away yesterday morning"),  # shares "quick brown fox" only (3-gram)
+            (3, "totally unrelated content about spark sketches here"),
+            (4, "we saw the quick brown fox jumps nearby"),  # shares 4-gram "the quick brown fox"
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "witnesses said the quick brown fox jumps at dawn")],
+        "doc_id long, text string",
+    )
+    out = decontaminate(docs, bench, "text", "doc_id", n=4)
+    flags = {r["doc_id"]: r["contaminated"] for r in out.collect()}
+    assert flags == {1: True, 2: False, 3: False, 4: True}
+    # schema: input columns preserved + boolean flag appended
+    assert out.columns == ["doc_id", "text", "contaminated"]
+    # anti-filter usage drops exactly the flagged docs
+    kept = out.filter(~F.col("contaminated")).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [2, 3]
+
+
+def test_decontaminate_shuffled_join_parity_and_flag_col(spark):
+    from ddsketch_ruby_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(40)],
+        "doc_id long, text string",
+    ).repartition(7)
+    bench = spark.createDataFrame(
+        [(999, "w10 w11 w12 w13 w14 w15")], "doc_id long, text string"
+    )
+    a = decontaminate(docs, bench, "text", "doc_id", n=4, flag_col="hit")
+    b = decontaminate(docs, bench, "text", "doc_id", n=4, broadcast=False, flag_col="hit")
+    fa = {r["doc_id"]: r["hit"] for r in a.collect()}
+    fb = {r["doc_id"]: r["hit"] for r in b.collect()}
+    assert fa == fb
+    # docs 9..12 each contain a full 4-gram of the benchmark window
+    # (doc 8's grams end at w11, one word short of the first bench gram)
+    assert {d for d, f in fa.items() if f} == {9, 10, 11, 12}
