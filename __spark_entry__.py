@@ -753,6 +753,79 @@ SELECT lang, doc_id, ROUND(xi, 6) AS sample_key FROM r WHERE rn <= {k}
 """
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split under the hard gate: every
+    document's assignment is a pure function of xxhash64(doc_id), so the
+    oracle replays the hash chain, the 53-bit dyadic uniform, and the
+    SAME cumulative float thresholds (inlined via _dlit on the SQL side —
+    0.8 + 0.1 is 0.9000000000000001 in binary, and BOTH engines must
+    compare against that exact double)."""
+    from ddsketch_ruby_spark.operators.sampling import hash_split
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", _SPLIT_WEIGHTS)
+    return out.select("doc_id", "split")
+
+
+def _hash_split_oracle_sql() -> str:
+    frag, fin, h = _xxh64_chain("hs", "src")
+    mask = (1 << 53) - 1
+    names = list(_SPLIT_WEIGHTS)
+    total = float(sum(_SPLIT_WEIGHTS.values()))
+    case = f"'{names[-1]}'"
+    cum = 0.0
+    conds = []
+    for name in names[:-1]:
+        cum += _SPLIT_WEIGHTS[name] / total
+        conds.append((name, cum))
+    for name, threshold in reversed(conds):
+        case = f"CASE WHEN u < {_dlit(threshold)} THEN '{name}' ELSE {case} END"
+    return f"""
+WITH src AS (SELECT doc_id, doc_id AS x FROM documents){frag},
+uu AS (
+  SELECT doc_id, CAST({h} & {mask} AS DOUBLE) * POWER(2.0, -53) AS u
+  FROM {fin}
+)
+SELECT doc_id, {case} AS split FROM uu
+"""
+
+
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span (boilerplate) detection under the hard gate: every
+    width-4 word n-gram occurring in >= 2 distinct documents, with doc
+    count / total occurrences / smallest containing id. Spans are joined
+    and grouped as STRINGS on both sides (no hashing anywhere — same
+    hash-free discipline as decontaminate_documents); at sf0.01 the
+    n_docs and n_occurrences columns genuinely differ (two spans repeat
+    within a single doc), so both aggregates are exercised."""
+    from ddsketch_ruby_spark.operators.dedup import duplicate_spans
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "text", "doc_id", n=4, min_docs=2)
+
+
+def _duplicate_spans_oracle_sql(n: int = 4, min_docs: int = 2) -> str:
+    return f"""
+WITH cw AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), w -> w <> '') AS ws
+            FROM documents),
+cn AS (SELECT doc_id, unnest(list_transform(
+         range(1, len(ws) - {n} + 2),
+         i -> array_to_string(ws[i:i + {n} - 1], ' '))) AS span
+       FROM cw)
+SELECT span,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS first_id
+FROM cn
+GROUP BY span
+HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+"""
+
+
 def _q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddsketch_ruby_spark.operators.agg import sketch_agg
     from ddsketch_ruby_spark.sketches.hll import HLLSpec
@@ -2525,8 +2598,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk_documents": _q_vocab_topk,
     "ddsketch_cdf_events": _q_ddsketch_cdf,
     "decontaminate_documents": _q_decontaminate,
-    "ddsketch_price_by_returnflag": _q_price_by_returnflag,
-    "ddsketch_cubic_events": _q_ddsketch_cubic,
+    "duplicate_spans_documents": _q_duplicate_spans,
+    "hash_split_documents": _q_hash_split,
     "ddsketch_rollup_doclen": _q_ddsketch_rollup,
     "ddsketch_q_of_q_user_value": _q_ddsketch_q_of_q,
     "ddsketch_multi_lineitem": _q_ddsketch_multi,
@@ -2593,6 +2666,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk_embeddings": _q_cosine_topk,
     "ddsketch_events_quantiles": _q_events_quantiles,
     "ddsketch_doclen_by_lang": _q_doclen_by_lang,
+    "ddsketch_price_by_returnflag": _q_price_by_returnflag,
+    "ddsketch_cubic_events": _q_ddsketch_cubic,
 }
 
 DRIVER_GATE_WINDOW = 50  # observed driver truncation (CORRECTNESS_r03)
@@ -3935,6 +4010,8 @@ ORACLES["sketch_partition_events"] = _sketch_partition_oracle_sql(n_buckets=16)
 ORACLES["vocab_topk_documents"] = _VOCAB_ORACLE
 ORACLES["ddsketch_cdf_events"] = _ddsketch_cdf_oracle_sql(_CDF_PROBES)
 ORACLES["decontaminate_documents"] = _decontaminate_oracle_sql(n=4)
+ORACLES["duplicate_spans_documents"] = _duplicate_spans_oracle_sql(n=4)
+ORACLES["hash_split_documents"] = _hash_split_oracle_sql()
 # stream = batch = SQL: the streamed sample must equal the batch sample
 ORACLES["stream_weighted_sample"] = _weighted_sample_oracle_sql(k=20)
 ORACLES["dedup_clusters_documents"] = _dedup_clusters_oracle_sql()

@@ -37,6 +37,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "word_ngrams",
     "decontaminate",
+    "duplicate_spans",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -1270,3 +1271,47 @@ def decontaminate(
     return df.join(hit_ids, id_col, "left").withColumn(
         flag_col, F.coalesce(F.col("__hit"), F.lit(False))
     ).drop("__hit")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    min_docs: int = 2,
+    keep_span: bool = True,
+) -> DataFrame:
+    """Repeated-span detection: every word ``n``-gram that occurs in at
+    least ``min_docs`` distinct documents, with its document count, total
+    occurrence count (within-doc repeats included), and the smallest
+    containing document id. The diagnostics half of exact-substring
+    deduplication (Lee et al. 2022 use 50-token spans): repeated spans
+    at training-corpus scale are boilerplate — headers, license blocks,
+    navigation chrome — and this surfaces them ranked by spread.
+
+    Output: (span, n_docs, n_occurrences, first_id), filtered to
+    ``n_docs >= min_docs``.
+
+    Scale shape: two aggregations, both keyed on the span — the first
+    groups (span, doc) so the wide explode collapses map-side before the
+    shuffle (within-doc repeats never cross the wire), the second is a
+    plain count/sum/min rollup. No distinct-count expansion, no join.
+    With ``keep_span=False`` the span string is replaced by its xxhash64
+    (spans become 8-byte shuffle keys — the 100 TB path; collision rate
+    2^-64 per span pair), trading the readable span text away."""
+    span: F.Column = F.explode(word_ngrams(text_col, n)).alias("span")
+    grams = df.select(F.col(id_col), span)
+    if not keep_span:
+        grams = grams.select(id_col, F.xxhash64("span").alias("span"))
+    per_doc = grams.groupBy("span", id_col).agg(
+        F.count(F.lit(1)).alias("__occ")
+    )
+    return (
+        per_doc.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__occ").alias("n_occurrences"),
+            F.min(id_col).alias("first_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

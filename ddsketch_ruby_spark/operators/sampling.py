@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["weighted_sample", "sample_key"]
+__all__ = ["weighted_sample", "sample_key", "hash_split"]
 
 _MASK53 = (1 << 53) - 1
 _INV53 = 2.0**-53  # exact power of two
@@ -96,3 +96,53 @@ def weighted_sample(
         .select(id_col)
     )
     return keyed.join(winners, on=id_col, how="left_semi")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in one
+    named split with probability proportional to its weight, decided by
+    the row's OWN id — u = dyadic 53-bit uniform of xxhash64(id) compared
+    against the cumulative weight thresholds. Assignment is a pure
+    function of (id, weights, seed): partitioning-invariant, stable
+    across reruns and cluster sizes, and rows ADDED to the corpus later
+    never reshuffle existing rows between splits (the property random()
+    splits lack — this is how training pipelines keep eval sets frozen
+    while the corpus grows).
+
+    ``weights`` maps split name -> positive weight (normalized
+    internally). The uniform and the thresholds are exact doubles, so
+    any IEEE SQL engine replays the assignment bit-identically.
+
+    Scale shape: one scan-level JVM expression — no shuffle, no state,
+    no sampling pass. The hash subtree is bound to a real column first
+    so the threshold CASE references it once (never a re-evaluated
+    subtree per branch)."""
+    if not weights:
+        raise ValueError("weights must be a non-empty {name: weight} dict")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("split weights must be positive")
+    total = float(sum(weights.values()))
+    names = list(weights)
+    if seed:
+        h = F.xxhash64(F.lit(seed).cast("long"), F.col(id_col))
+    else:
+        h = F.xxhash64(F.col(id_col))
+    u = h.bitwiseAND(F.lit(_MASK53)).cast("double") * F.lit(_INV53)
+    tagged = df.withColumn("__u", u)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    conds = []
+    for name in names[:-1]:
+        cum += weights[name] / total
+        conds.append((name, cum))
+    for name, threshold in reversed(conds):
+        expr = F.when(F.col("__u") < F.lit(threshold), F.lit(name)).otherwise(
+            expr
+        )
+    return tagged.withColumn(split_col, expr).drop("__u")

@@ -95,3 +95,44 @@ def test_key_is_scan_level_expression(spark):
 def test_k_must_be_positive(spark):
     with pytest.raises(ValueError):
         weighted_sample(_docs(spark), "doc_id", "n_chars", k=0)
+
+
+def test_hash_split_proportions_and_exhaustive(spark):
+    from ddsketch_ruby_spark.operators.sampling import hash_split
+
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["c"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert sum(counts.values()) == 20000  # every row assigned exactly once
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    assert abs(counts["test"] / 20000 - 0.1) < 0.01
+
+
+def test_hash_split_frozen_under_corpus_growth(spark):
+    from ddsketch_ruby_spark.operators.sampling import hash_split
+
+    w = {"train": 0.9, "test": 0.1}
+    small = spark.range(1000).withColumnRenamed("id", "doc_id")
+    big = spark.range(5000).withColumnRenamed("id", "doc_id").repartition(5)
+    a = {r["doc_id"]: r["split"] for r in hash_split(small, "doc_id", w).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(big, "doc_id", w).collect()}
+    # growing the corpus (and changing partitioning) never moves old rows
+    assert a == {k: v for k, v in b.items() if k < 1000}
+    # a different seed is a different (but still deterministic) assignment
+    c = {r["doc_id"]: r["split"] for r in hash_split(small, "doc_id", w, seed=7).collect()}
+    assert c != a
+    c2 = {r["doc_id"]: r["split"] for r in hash_split(small, "doc_id", w, seed=7).collect()}
+    assert c2 == c
+
+
+def test_hash_split_no_shuffle_and_validation(spark):
+    from ddsketch_ruby_spark.operators.sampling import hash_split
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    plan = hash_split(df, "doc_id", {"a": 1.0, "b": 1.0})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure scan-level expression
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {})
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"a": 1.0, "b": -0.5})

@@ -939,3 +939,33 @@ def test_decontaminate_shuffled_join_parity_and_flag_col(spark):
     # docs 9..12 each contain a full 4-gram of the benchmark window
     # (doc 8's grams end at w11, one word short of the first bench gram)
     assert {d for d, f in fa.items() if f} == {9, 10, 11, 12}
+
+
+def test_duplicate_spans_counts_and_hashed_parity(spark):
+    from ddsketch_ruby_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z w a b c"),
+            (2, "q r x y z w k"),          # shares "x y z w" with 1
+            (3, "x y z w u x y z w v"),    # contains "x y z w" TWICE
+            (4, "unrelated words only here town"),
+        ],
+        "doc_id long, text string",
+    ).repartition(3)
+    out = duplicate_spans(docs, "text", "doc_id", n=4, min_docs=2)
+    rows = {r["span"]: r for r in out.collect()}
+    assert set(rows) == {"x y z w"}
+    r = rows["x y z w"]
+    assert r["n_docs"] == 3          # within-doc repeat doesn't inflate doc count
+    assert r["n_occurrences"] == 4   # ...but does count as an occurrence
+    assert r["first_id"] == 1
+    # min_docs filter: raise the bar past the spread
+    assert duplicate_spans(docs, "text", "doc_id", n=4, min_docs=4).count() == 0
+    # hashed-span mode: identical stats, span replaced by xxhash64(string)
+    hashed = duplicate_spans(docs, "text", "doc_id", n=4, keep_span=False)
+    hr = hashed.collect()
+    assert len(hr) == 1
+    expected = docs.sparkSession.sql("SELECT xxhash64('x y z w') AS h").first()["h"]
+    assert hr[0]["span"] == expected
+    assert (hr[0]["n_docs"], hr[0]["n_occurrences"], hr[0]["first_id"]) == (3, 4, 1)
