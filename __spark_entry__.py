@@ -826,6 +826,77 @@ HAVING COUNT(DISTINCT doc_id) >= {min_docs}
 """
 
 
+_MG_K = 12
+
+
+def _mg_items(events: DataFrame) -> DataFrame:
+    """Deterministic skewed item stream for the heavy-hitters gate:
+    item = event_id % (1 + event_id % 32) — pure integer arithmetic both
+    engines compute identically; at sf0.01 it yields 32 distinct items
+    with a decaying distribution (top item ~12% of the stream), so the
+    k=12 summary genuinely decrements (32 > k) while several items clear
+    the n/(k+1) guarantee threshold per event_type group."""
+    return events.select(
+        "event_type",
+        (F.col("event_id") % (F.lit(1) + F.col("event_id") % F.lit(32))).alias(
+            "item"
+        ),
+    )
+
+
+def _q_mg_heavy_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (sketches/mg.py, PODS-2012 mergeable
+    compaction) under the guarantee gate: for every item whose EXACT
+    per-group count exceeds n/(k+1), the summary must contain it with
+    est <= exact and (exact - est)*(k+1) <= n — all integer arithmetic,
+    no epsilon. The state is order-dependent (like t-digest/KLL) but the
+    guarantee is partitioning-invariant, so the booleans are stable;
+    DuckDB recomputes the exact counts and the guaranteed-heavy row set
+    and asserts the bound, exactly the _bound_checked discipline."""
+    from ddsketch_ruby_spark.operators.frequency import heavy_hitters
+
+    (events,) = _tables(spark, sf_dir, "events")
+    items = _mg_items(events)
+    hh = heavy_hitters(items, "item", k=_MG_K, group_by=["event_type"])
+    exact = items.groupBy("event_type", "item").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    n_by_group = items.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    heavy = exact.join(n_by_group, "event_type").filter(
+        F.col("exact_cnt") * (_MG_K + 1) > F.col("__n")
+    )
+    withest = heavy.join(
+        hh.select("event_type", "item", "est"), ["event_type", "item"], "left"
+    )
+    est0 = F.coalesce(F.col("est"), F.lit(0))
+    ok = (
+        F.col("est").isNotNull()
+        & (est0 <= F.col("exact_cnt"))
+        & ((F.col("exact_cnt") - est0) * (_MG_K + 1) <= F.col("__n"))
+    )
+    return withest.select(
+        "event_type", "item", "exact_cnt", ok.alias("within_bound")
+    )
+
+
+def _mg_oracle_sql(k: int = _MG_K) -> str:
+    return f"""
+WITH it AS (
+  SELECT event_type, event_id % (1 + (event_id % 32)) AS item FROM events
+),
+exact AS (
+  SELECT event_type, item, COUNT(*) AS exact_cnt
+  FROM it GROUP BY event_type, item
+),
+n AS (SELECT event_type, COUNT(*) AS nn FROM it GROUP BY event_type)
+SELECT e.event_type, e.item, e.exact_cnt, TRUE AS within_bound
+FROM exact e JOIN n ON n.event_type = e.event_type
+WHERE e.exact_cnt * {k + 1} > n.nn
+"""
+
+
 def _q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddsketch_ruby_spark.operators.agg import sketch_agg
     from ddsketch_ruby_spark.sketches.hll import HLLSpec
@@ -2600,7 +2671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_documents": _q_decontaminate,
     "duplicate_spans_documents": _q_duplicate_spans,
     "hash_split_documents": _q_hash_split,
-    "ddsketch_rollup_doclen": _q_ddsketch_rollup,
+    "mg_heavy_items": _q_mg_heavy_items,
     "ddsketch_q_of_q_user_value": _q_ddsketch_q_of_q,
     "ddsketch_multi_lineitem": _q_ddsketch_multi,
     "exact_dedup_documents": _q_exact_dedup_documents,
@@ -2668,6 +2739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_doclen_by_lang": _q_doclen_by_lang,
     "ddsketch_price_by_returnflag": _q_price_by_returnflag,
     "ddsketch_cubic_events": _q_ddsketch_cubic,
+    "ddsketch_rollup_doclen": _q_ddsketch_rollup,
 }
 
 DRIVER_GATE_WINDOW = 50  # observed driver truncation (CORRECTNESS_r03)
@@ -4012,6 +4084,7 @@ ORACLES["ddsketch_cdf_events"] = _ddsketch_cdf_oracle_sql(_CDF_PROBES)
 ORACLES["decontaminate_documents"] = _decontaminate_oracle_sql(n=4)
 ORACLES["duplicate_spans_documents"] = _duplicate_spans_oracle_sql(n=4)
 ORACLES["hash_split_documents"] = _hash_split_oracle_sql()
+ORACLES["mg_heavy_items"] = _mg_oracle_sql()
 # stream = batch = SQL: the streamed sample must equal the batch sample
 ORACLES["stream_weighted_sample"] = _weighted_sample_oracle_sql(k=20)
 ORACLES["dedup_clusters_documents"] = _dedup_clusters_oracle_sql()

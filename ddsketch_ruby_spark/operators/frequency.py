@@ -28,6 +28,7 @@ __all__ = [
     "hash_items",
     "hll_overlap",
     "kmv_overlap",
+    "heavy_hitters",
 ]
 
 
@@ -275,3 +276,40 @@ def kmv_overlap(
             yield pd.DataFrame(rows, columns=out_schema.names)
 
     return pairs.mapInPandas(est_pairs, schema=out_schema)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int = 64,
+    group_by: Iterable[str] = (),
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Distributed Misra-Gries frequent items (sketches/mg.py MGSpec):
+    one pass, O(k) state per group, no exact groupBy of the item space.
+    Returns exploded rows (group..., item, est, n, err_bound) sorted
+    within each group by est desc — where est <= true count <=
+    est + n/(k+1) (and the tighter est + err_bound, the exact decrement
+    actually applied on this run's merge path). Every item whose true
+    count exceeds n/(k+1) is guaranteed to appear.
+
+    Scale shape (10^12 rows, unbounded item cardinality): the map side
+    folds each Arrow batch into a k-entry summary, so the shuffle carries
+    one ~16k-byte state row per (partition x group) — never the items
+    themselves. Use where vocab_topk's exact wordcount groupBy would
+    shuffle the full item space."""
+    from ..sketches.mg import MGSpec
+
+    group_by = list(group_by)
+    res = sketch_agg(df, MGSpec(k=k), item_col, group_by, weight_col)
+    z = F.explode(F.arrays_zip(F.col("items"), F.col("ests"))).alias("z")
+    return (
+        res.select(*group_by, "n", "err_bound", z)
+        .select(
+            *group_by,
+            F.col("z.items").alias("item"),
+            F.col("z.ests").alias("est"),
+            "n",
+            "err_bound",
+        )
+    )

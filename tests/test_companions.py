@@ -413,3 +413,128 @@ def test_kmv_overlap_disjoint_and_identical(spark):
     assert ac["jaccard"] == 1.0
     assert ac["est_intersect"] == ac["est_union"]
     assert ac["est_a"] == ac["est_b"] == ac["est_union"]
+
+
+# ---------------------------------------------------------------- Misra-Gries
+
+
+def test_mg_guarantee_any_order():
+    """The PODS-2012 merge rule keeps the n/(k+1) guarantee under any
+    partitioning and merge order: est <= true, deficit*(k+1) <= n, every
+    item above threshold tracked, d within the published bound."""
+    import collections
+
+    from ddsketch_ruby_spark.sketches.mg import MGSpec
+
+    rng = np.random.default_rng(7)
+    items = rng.zipf(1.3, 100000)
+    items = items[items < 5000].astype(np.int64)
+    spec = MGSpec(k=24)
+    exact = collections.Counter(items.tolist())
+    n = len(items)
+    for nparts in (1, 5, 33):
+        states = []
+        for p in np.array_split(items, nparts):
+            s = spec.zero()
+            s = spec.update(s, p)
+            states.append(s)
+        rng.shuffle(states)
+        m = states[0]
+        for s in states[1:]:
+            m = spec.merge(m, s)
+        assert m.n == n
+        assert len(m.items) <= spec.k
+        assert m.d * (spec.k + 1) <= n
+        est = dict(zip(m.items.tolist(), m.counts.tolist()))
+        for it, c in exact.items():
+            e = est.get(it, 0)
+            assert e <= c
+            assert (c - e) * (spec.k + 1) <= n
+            if c * (spec.k + 1) > n:
+                assert it in est, ("guaranteed item missing", it, c)
+
+
+def test_mg_weighted_and_validation():
+    from ddsketch_ruby_spark.sketches.mg import MGSpec
+
+    spec = MGSpec(k=4)
+    s = spec.zero()
+    s = spec.update(
+        s,
+        np.array([1, 2, 3], dtype=np.int64),
+        np.array([10, 5, 1], dtype=np.int64),
+    )
+    est = dict(zip(s.items.tolist(), s.counts.tolist()))
+    assert est == {1: 10, 2: 5, 3: 1} and s.n == 16 and s.d == 0
+    with pytest.raises(ValueError):
+        spec.update(spec.zero(), np.array([1]), np.array([0.5]))
+    with pytest.raises(ValueError):
+        spec.update(spec.zero(), np.array([1]), np.array([-2]))
+    with pytest.raises(ValueError):
+        MGSpec(k=0)
+
+
+def test_mg_compact_exactly_when_under_k():
+    """With distinct items <= k the summary IS the exact wordcount —
+    no decrement ever fires, d stays 0."""
+    import collections
+
+    from ddsketch_ruby_spark.sketches.mg import MGSpec
+
+    rng = np.random.default_rng(3)
+    items = rng.integers(0, 20, 5000).astype(np.int64)
+    spec = MGSpec(k=20)
+    a, b = np.array_split(items, 2)
+    sa = spec.update(spec.zero(), a)
+    sb = spec.update(spec.zero(), b)
+    m = spec.merge(sa, sb)
+    assert m.d == 0
+    est = dict(zip(m.items.tolist(), m.counts.tolist()))
+    assert est == dict(collections.Counter(items.tolist()))
+
+
+def test_mg_distributed_heavy_hitters(spark, sf01_dir):
+    from ddsketch_ruby_spark.operators.frequency import heavy_hitters
+
+    events = spark.read.parquet(f"{sf01_dir}/events.parquet")
+    k = 12
+    items = events.select(
+        "event_type",
+        (F.col("event_id") % (F.lit(1) + F.col("event_id") % F.lit(32))).alias("item"),
+    )
+    hh = heavy_hitters(items, "item", k=k, group_by=["event_type"])
+    got = hh.collect()
+    exact = {
+        (r["event_type"], r["item"]): r["c"]
+        for r in items.groupBy("event_type", "item").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n_by = {}
+    for (et, _), c in exact.items():
+        n_by[et] = n_by.get(et, 0) + c
+    by_group = {}
+    for r in got:
+        assert r["n"] == n_by[r["event_type"]]
+        c = exact[(r["event_type"], r["item"])]
+        assert r["est"] <= c
+        assert (c - r["est"]) * (k + 1) <= r["n"]
+        assert r["err_bound"] * (k + 1) <= r["n"]
+        by_group.setdefault(r["event_type"], set()).add(r["item"])
+        assert len(by_group[r["event_type"]]) <= k
+    # recall guarantee per group
+    for (et, it), c in exact.items():
+        if c * (k + 1) > n_by[et]:
+            assert it in by_group[et], (et, it, c)
+
+
+def test_mg_codec_round_trip():
+    from ddsketch_ruby_spark.sketches.mg import MGSpec
+
+    spec = MGSpec(k=8)
+    s = spec.update(
+        spec.zero(), np.arange(100, dtype=np.int64) % 13
+    )
+    r = spec.state_to_row(s)
+    s2 = spec.row_to_state(r)
+    assert (s2.items == s.items).all()
+    assert (s2.counts == s.counts).all()
+    assert (s2.n, s2.d) == (s.n, s.d)
