@@ -2174,6 +2174,93 @@ def _q_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_kmv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-day distinct-user KMV estimates under the hard gate,
+    with the ESTIMATES hash-matched (not bounds): the events table streams
+    in as three micro-batches; a windowless-watermark 1-day-window KMV
+    aggregation (sketch_stream_windowed, emit="state") emits prefix
+    states in update mode, and sketch_finalize re-merges each window's
+    emissions — the KMV monoid makes merge(prefix1..prefixN) == the final
+    state for ANY micro-batch split, so no watermark/sentinel staging is
+    needed (the k-minima set is order-insensitive, same argument as
+    stream_weighted_sample). DuckDB recomputes each day's k smallest
+    distinct hashes and replays the estimator float ops verbatim."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ddsketch_ruby_spark.operators.agg import sketch_finalize
+    from ddsketch_ruby_spark.sketches.kmv import KmvSpec
+    from ddsketch_ruby_spark.streaming.sketch_stream import (
+        sketch_stream_windowed,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    spec = KmvSpec(k=32)
+    stage = tempfile.mkdtemp(prefix="stream_kmv_daily_")
+    src_dir = f"{stage}/src"
+    try:
+        for i in range(3):
+            events.filter(F.col("event_id") % 3 == i).select(
+                "ts", "user_id"
+            ).coalesce(1).write.mode("append").parquet(src_dir)
+        stream = (
+            spark.readStream.schema(events.select("ts", "user_id").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        states = sketch_stream_windowed(
+            stream.select("ts", F.xxhash64("user_id").alias("h")),
+            spec,
+            "h",
+            "ts",
+            window="1 day",
+            watermark=None,
+            emit="state",
+        )
+        qn = f"stream_kmv_daily_{uuid.uuid4().hex[:8]}"
+        q = (
+            states.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{stage}/ckpt")
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_kmv_daily stream did not drain within 300 s — "
+                "refusing to gate a partially-filled memory sink"
+            )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    final = sketch_finalize(spark.table(qn), spec, ["window_start"])
+    return final.select(
+        F.to_date("window_start").alias("day"),
+        F.round("approx_distinct", 6).alias("approx_users"),
+    )
+
+
+def _stream_kmv_oracle_sql(k: int = 32) -> str:
+    frag, fin, h = _xxh64_chain("sk", "src")
+    est_case = (
+        f"CASE WHEN kt < {k} THEN CAST(kt AS DOUBLE) "
+        f"ELSE CAST({k - 1} AS DOUBLE) / (CAST(hk AS DOUBLE) * POWER(2.0, -64)) END"
+    )
+    return f"""
+WITH src AS (SELECT CAST(ts AS DATE) AS day, user_id AS x FROM events){frag},
+dh AS (SELECT DISTINCT day, {h} AS h FROM {fin}),
+rk AS (
+  SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+  FROM dh
+),
+tagg AS (SELECT day, COUNT(*) AS kt, MAX(h) AS hk FROM rk WHERE rn <= {k}
+         GROUP BY day)
+SELECT day, ROUND({est_case}, 6) AS approx_users FROM tagg
+"""
+
+
 def _q_stream_latency_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream join under the hard gate (streaming/sketch_stream.py
     stream_stream_latency_join): a REQUEST stream (event_id, ts) and a
@@ -2651,6 +2738,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_stream_sliding": _q_ddsketch_stream_sliding,
     "stream_dedup_users": _q_stream_dedup_users,
     "stream_weighted_sample": _q_stream_weighted_sample,
+    "stream_kmv_daily": _q_stream_kmv_daily,
     "stream_latency_join": _q_stream_latency_join,
     "session_stats_events": _q_session_stats_events,
     "stream_session_stats": _q_stream_session_stats,
@@ -2672,7 +2760,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_spans_documents": _q_duplicate_spans,
     "hash_split_documents": _q_hash_split,
     "mg_heavy_items": _q_mg_heavy_items,
-    "ddsketch_q_of_q_user_value": _q_ddsketch_q_of_q,
     "ddsketch_multi_lineitem": _q_ddsketch_multi,
     "exact_dedup_documents": _q_exact_dedup_documents,
     "exact_dedup_hashed": _q_exact_dedup_hashed,
@@ -2740,6 +2827,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_price_by_returnflag": _q_price_by_returnflag,
     "ddsketch_cubic_events": _q_ddsketch_cubic,
     "ddsketch_rollup_doclen": _q_ddsketch_rollup,
+    "ddsketch_q_of_q_user_value": _q_ddsketch_q_of_q,
 }
 
 DRIVER_GATE_WINDOW = 50  # observed driver truncation (CORRECTNESS_r03)
@@ -4085,6 +4173,7 @@ ORACLES["decontaminate_documents"] = _decontaminate_oracle_sql(n=4)
 ORACLES["duplicate_spans_documents"] = _duplicate_spans_oracle_sql(n=4)
 ORACLES["hash_split_documents"] = _hash_split_oracle_sql()
 ORACLES["mg_heavy_items"] = _mg_oracle_sql()
+ORACLES["stream_kmv_daily"] = _stream_kmv_oracle_sql(k=32)
 # stream = batch = SQL: the streamed sample must equal the batch sample
 ORACLES["stream_weighted_sample"] = _weighted_sample_oracle_sql(k=20)
 ORACLES["dedup_clusters_documents"] = _dedup_clusters_oracle_sql()

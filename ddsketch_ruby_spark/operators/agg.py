@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 
 from ..sketches.base import SketchSpec
 
-__all__ = ["sketch_agg", "sketch_partials"]
+__all__ = ["sketch_agg", "sketch_partials", "sketch_finalize"]
 
 
 def _group_fields(df: DataFrame, group_by: list[str]) -> list[T.StructField]:
@@ -187,4 +187,47 @@ def sketch_agg(
             lambda pdf: merge_final(pdf.drop(columns=["__g"], errors="ignore")),
             schema=out_schema,
         )
+    )
+
+
+def sketch_finalize(
+    df: DataFrame,
+    spec: SketchSpec,
+    group_by: Iterable[str] = (),
+    output: str = "result",
+) -> DataFrame:
+    """Merge PERSISTED state rows back into one row per group — the other
+    half of ``sketch_agg(output="state")``: build sketch tables
+    incrementally (daily jobs appending partial states, streaming update
+    emissions, cross-cluster exports), then finalize whenever queried.
+    Accepts any frame whose columns include ``group_by`` plus the spec's
+    ``state_fields``; extra columns are ignored. ``output`` as in
+    sketch_agg."""
+    group_by = list(group_by)
+    state_names = [f.name for f in spec.state_fields()]
+    src = df.select(*group_by, *state_names)
+    if output == "state":
+        out_schema = T.StructType(
+            _group_fields(src, group_by) + spec.state_fields()
+        )
+        emit = spec.state_to_row
+    elif output == "result":
+        out_schema = T.StructType(
+            _group_fields(src, group_by) + spec.result_fields()
+        )
+        emit = spec.result
+    else:
+        raise ValueError("output must be 'result' or 'state'")
+
+    def fin(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = _merge_states(spec, pdf)
+        row = {g: pdf[g].iloc[0] for g in group_by}
+        row.update(emit(merged))
+        return pd.DataFrame([row], columns=out_schema.names)
+
+    if group_by:
+        return src.groupBy(*group_by).applyInPandas(fin, schema=out_schema)
+    return src.groupBy(F.lit(1).alias("__g")).applyInPandas(
+        lambda pdf: fin(pdf.drop(columns=["__g"], errors="ignore")),
+        schema=out_schema,
     )

@@ -258,7 +258,7 @@ def sketch_stream_windowed(
     value_col: str,
     ts_col: str,
     window: str = "1 minute",
-    watermark: str = "5 minutes",
+    watermark: str | None = "5 minutes",
     group_by: Iterable[str] = (),
     emit: str = "result",
     slide: str | None = None,
@@ -266,15 +266,21 @@ def sketch_stream_windowed(
     """Tumbling (or, with ``slide``, sliding) event-time window sketches
     with a watermark: late rows within the watermark still merge (the
     monoid absorbs reordering); older state is dropped by Spark
-    automatically."""
+    automatically. ``watermark=None`` keeps ALL window states forever and
+    never declares rows late — correct (not just convenient) when the
+    caller re-merges update-mode emissions downstream, because the monoid
+    makes arbitrarily late arrivals fold into the same final state; only
+    use it when the window key space is bounded (states never age out)."""
     group_by = list(group_by)
     # watermarks require TIMESTAMP (with zone); parquet often yields NTZ
     stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     win_col = (
         F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     )
+    if watermark is not None:
+        stream_df = stream_df.withWatermark(ts_col, watermark)
     windowed = (
-        stream_df.withWatermark(ts_col, watermark)
+        stream_df
         .select(
             win_col.alias("win"),
             *group_by,

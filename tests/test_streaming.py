@@ -515,3 +515,81 @@ def test_stream_weighted_sample_equals_batch(spark, tmp_path):
         t.groupBy("lang", "seq").count().agg(F.max("count")).collect()[0][0]
     )
     assert per <= 7
+
+
+def test_stream_kmv_windowed_no_watermark_equals_batch(spark, stream_dir):
+    """watermark=None windowed KMV: re-merging each window's update-mode
+    prefix emissions (sketch_finalize) must equal the batch sketch of the
+    whole table — exactly, not approximately (the k-minima state is a
+    pure function of the input set)."""
+    from ddsketch_ruby_spark.operators.agg import sketch_agg, sketch_finalize
+    from ddsketch_ruby_spark.sketches.kmv import KmvSpec
+    from ddsketch_ruby_spark.streaming.sketch_stream import (
+        sketch_stream_windowed,
+    )
+
+    d, src = stream_dir
+    spec = KmvSpec(k=16)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .select("ts", F.xxhash64("user_id").alias("h"))
+    )
+    states = sketch_stream_windowed(
+        stream, spec, "h", "ts", window="1 day", watermark=None, emit="state"
+    )
+    mem = _run_stream(spark, states, "kmv_win_updates")
+    streamed = {
+        r["window_start"]: r["approx_distinct"]
+        for r in sketch_finalize(mem, spec, ["window_start"]).collect()
+    }
+    batch_src = src.select(
+        F.window(F.col("ts").cast("timestamp"), "1 day")["start"].alias(
+            "window_start"
+        ),
+        F.xxhash64("user_id").alias("h"),
+    )
+    batch = {
+        r["window_start"]: r["approx_distinct"]
+        for r in sketch_agg(batch_src, spec, "h", ["window_start"]).collect()
+    }
+    assert streamed == batch  # bit-identical estimates, every window
+
+
+def test_sketch_finalize_states_roundtrip(spark):
+    """sketch_agg(output='state') -> persisted table -> sketch_finalize
+    equals sketch_agg(output='result') directly; finalize also re-merges
+    split-level partial states correctly (the incremental-build shape)."""
+    from ddsketch_ruby_spark.operators.agg import sketch_agg, sketch_finalize
+    from ddsketch_ruby_spark.sketches.kmv import KmvSpec
+
+    spec = KmvSpec(k=8)
+    df = spark.range(2000).select(
+        (F.col("id") % 3).alias("g"), F.xxhash64("id").alias("h")
+    )
+    direct = {
+        r["g"]: r["approx_distinct"]
+        for r in sketch_agg(df, spec, "h", ["g"]).collect()
+    }
+    # split the input, persist per-split states, finalize the union
+    states_a = sketch_agg(
+        df.filter("id % 2 = 0"), spec, "h", ["g"], output="state"
+    )
+    states_b = sketch_agg(
+        df.filter("id % 2 = 1"), spec, "h", ["g"], output="state"
+    )
+    refin = {
+        r["g"]: r["approx_distinct"]
+        for r in sketch_finalize(
+            states_a.unionByName(states_b), spec, ["g"]
+        ).collect()
+    }
+    assert refin == direct
+    # output="state" round-trips through finalize too
+    sf = sketch_finalize(
+        states_a.unionByName(states_b), spec, ["g"], output="state"
+    )
+    assert {f.name for f in sf.schema.fields} == {"g", "minima"}
+    with pytest.raises(ValueError):
+        sketch_finalize(states_a, spec, ["g"], output="bogus")
