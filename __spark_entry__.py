@@ -353,6 +353,95 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, "embedding", "vec_id", query, k=10)
 
 
+_PQ_GEOM = dict(dim=64, m=8, codebook_size=16, seed=42)
+
+
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN under the hard gate, with the FULL
+    pipeline replayed — encode (per-subspace squared-L2 argmin against
+    the codebook) and ADC scoring (sum of m lookup-table entries), both
+    value-hash-matched, not recall-gated. Possible because every float
+    op is an ordered left fold starting at 0.0 (JVM aggregate fold ==
+    Python LUT fold == the SQL explicit addition chain) and the codebook
+    is a seeded plan-time constant (pq_codebook — the same role the
+    seeded hyperplanes play for the LSH gates; pq_train's k-means path
+    is pinned by pytest parity/quality tests instead)."""
+    from ddsketch_ruby_spark.operators.pq import (
+        pq_codebook,
+        pq_encode,
+        pq_topk,
+    )
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    books = pq_codebook(**_PQ_GEOM)
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    enc = pq_encode(emb, "embedding", books)
+    return pq_topk(enc, books, "vec_id", query, k=10)
+
+
+def _pq_oracle_sql(k: int = 10) -> str:
+    from ddsketch_ruby_spark.operators.pq import pq_codebook
+
+    books = pq_codebook(**_PQ_GEOM)
+    m, cbk, dsub = books.shape
+    rows = ",\n".join(
+        f"({s}, {c}, "
+        + ", ".join(_dlit(float(books[s, c, j])) for j in range(dsub))
+        + ")"
+        for s in range(m)
+        for c in range(cbk)
+    )
+    cols = ", ".join(f"c{j}" for j in range(1, dsub + 1))
+
+    def chain(vec: str) -> str:
+        expr = "CAST(0 AS DOUBLE)"
+        for j in range(1, dsub + 1):
+            t = f"({vec}[sub*{dsub}+{j}] - c{j}) * ({vec}[sub*{dsub}+{j}] - c{j})"
+            expr = f"({expr} + {t})"
+        return expr
+
+    pivots = ", ".join(
+        f"MAX(CASE WHEN e.sub = {s} THEN l.qd END) AS s{s}" for s in range(m)
+    )
+    total = "CAST(0 AS DOUBLE)"
+    for s in range(m):
+        total = f"({total} + s{s})"
+    return f"""
+WITH cb(sub, code, {cols}) AS (VALUES
+{rows}
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+d AS (
+  SELECT v.vec_id, cb.sub, cb.code, {chain("e")} AS dist
+  FROM v CROSS JOIN cb
+),
+enc AS (
+  SELECT vec_id, sub, code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code)
+           AS rn
+  FROM d
+),
+lutq AS (SELECT cb.sub, cb.code, {chain("qv")} AS qd FROM cb CROSS JOIN q),
+sc AS (
+  SELECT e.vec_id, {pivots}
+  FROM enc e JOIN lutq l ON l.sub = e.sub AND l.code = e.code
+  WHERE e.rn = 1
+  GROUP BY e.vec_id
+),
+scored AS (SELECT vec_id, {total} AS dd FROM sc),
+ranked AS (
+  SELECT vec_id, dd, ROW_NUMBER() OVER (ORDER BY dd, vec_id) AS rn
+  FROM scored
+)
+SELECT vec_id, ROUND(dd, 6) AS pq_dist FROM ranked WHERE rn <= {k}
+"""
+
+
 def _q_ivf_ann_join_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch IVF under the hard gate via EXHAUSTIVE probing: with
     nprobe == n_cells every query joins every cell, so k-means training,
@@ -2749,6 +2838,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup_pairs": _q_simhash_near_dup_pairs,
     "lsh_ann_join_topk": _q_lsh_ann_join,
     "ivf_ann_join_exhaustive": _q_ivf_ann_join_exhaustive,
+    "pq_topk_embeddings": _q_pq_topk,
     "weighted_sample_documents": _q_weighted_sample_docs,
     "hll_overlap_event_types": _q_hll_overlap,
     "kmv_overlap_event_buckets": _q_kmv_overlap,
@@ -2760,7 +2850,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_spans_documents": _q_duplicate_spans,
     "hash_split_documents": _q_hash_split,
     "mg_heavy_items": _q_mg_heavy_items,
-    "ddsketch_multi_lineitem": _q_ddsketch_multi,
     "exact_dedup_documents": _q_exact_dedup_documents,
     "exact_dedup_hashed": _q_exact_dedup_hashed,
     "token_stats_by_lang": _q_token_stats_by_lang,
@@ -2828,6 +2917,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_cubic_events": _q_ddsketch_cubic,
     "ddsketch_rollup_doclen": _q_ddsketch_rollup,
     "ddsketch_q_of_q_user_value": _q_ddsketch_q_of_q,
+    "ddsketch_multi_lineitem": _q_ddsketch_multi,
 }
 
 DRIVER_GATE_WINDOW = 50  # observed driver truncation (CORRECTNESS_r03)
@@ -4174,6 +4264,7 @@ ORACLES["duplicate_spans_documents"] = _duplicate_spans_oracle_sql(n=4)
 ORACLES["hash_split_documents"] = _hash_split_oracle_sql()
 ORACLES["mg_heavy_items"] = _mg_oracle_sql()
 ORACLES["stream_kmv_daily"] = _stream_kmv_oracle_sql(k=32)
+ORACLES["pq_topk_embeddings"] = _pq_oracle_sql(k=10)
 # stream = batch = SQL: the streamed sample must equal the batch sample
 ORACLES["stream_weighted_sample"] = _weighted_sample_oracle_sql(k=20)
 ORACLES["dedup_clusters_documents"] = _dedup_clusters_oracle_sql()

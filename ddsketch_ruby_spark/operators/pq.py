@@ -1,0 +1,218 @@
+"""Product quantization (PQ) for embedding compression + ANN search.
+
+Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011): split each d-dim vector into ``m`` subspaces of
+d/m dims, quantize every subspace independently against its own
+``codebook_size``-entry codebook, and answer queries with ASYMMETRIC
+distance computation (ADC) — the query stays un-quantized, each
+subspace's partial squared distances to all codebook entries are
+precomputed into a lookup table, and a corpus vector's approximate
+distance is the sum of m table lookups over its stored codes.
+
+Compression at 10^12 docs: a 64-dim float32 vector is 256 B; its PQ code
+at m=8, codebook_size=256 is 8 B — a 32x smaller scan side. The codes are
+computed ONCE at ingest (pq_encode), the codebook is a tiny plan-time
+constant (m * codebook_size * d/m doubles), and queries never touch the
+raw vectors (rerank against the originals only for the final top-k if
+exactness matters — compose with cosine_topk over the candidate ids).
+
+Determinism discipline (what makes the driver gate bit-exact): encode
+distances are LEFT-FOLD sums starting at 0.0 — ``F.aggregate(zip_with(
+slice, centroid, (a-b)*(a-b)), 0.0, acc+x)`` on the JVM, the same
+explicit chain in SQL, and a sequential Python fold for the ADC lookup
+table — so every engine computes the identical doubles and argmin ties
+break identically (first/lowest code). Codebooks are float64 constants;
+float32 embedding values widen exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["pq_codebook", "pq_train", "pq_encode", "pq_topk", "pq_adc_lut"]
+
+
+def _check_geometry(dim: int, m: int) -> int:
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must be divisible by m={m} subspaces")
+    return dim // m
+
+
+def pq_codebook(
+    dim: int,
+    m: int = 8,
+    codebook_size: int = 16,
+    seed: int = 42,
+    scale: float = 0.125,
+) -> np.ndarray:
+    """Seeded data-independent codebook: (m, codebook_size, dim//m)
+    Gaussian entries with per-coordinate std ``scale`` (0.125 matches
+    unit-norm 64-dim embeddings, where E[x^2] = 1/64). A plan-time
+    constant reproducible from (dim, m, codebook_size, seed) alone — the
+    same role the seeded hyperplanes play for LSH, and what lets the
+    driver oracle replay encode + ADC without retraining anything.
+    pq_train produces better codebooks from data; the pipeline is
+    identical either way."""
+    dsub = _check_geometry(dim, m)
+    rng = np.random.default_rng(seed)
+    return rng.normal(0.0, scale, size=(m, codebook_size, dsub))
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    codebook_size: int = 16,
+    iters: int = 10,
+    sample_fraction: float = 0.2,
+    sample_limit: int = 20000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train per-subspace codebooks: k-means (k-means++ seeding, Lloyd
+    iterations — operators/similarity.py kmeans_np) independently on each
+    of the m coordinate blocks of a bounded driver-side sample. Returns
+    (m, codebook_size, dim//m). Training cost is corpus-size-independent
+    (same sample-bounding argument as ivf_train)."""
+    dsub = _check_geometry(dim, m)
+    from .similarity import kmeans_np
+
+    sample = np.array(
+        df.select(vec_col)
+        .sample(fraction=sample_fraction, seed=seed)
+        .limit(sample_limit)
+        .collect()
+    )[:, 0]
+    sample = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
+    if sample.shape[1] != dim:
+        raise ValueError(f"vectors have dim {sample.shape[1]}, expected {dim}")
+    rng = np.random.default_rng(seed)
+    books = [
+        kmeans_np(sample[:, s * dsub : (s + 1) * dsub], codebook_size, iters, rng)
+        for s in range(m)
+    ]
+    return np.stack(books)
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: np.ndarray,
+    code_col: str = "pq_code",
+    engine: str = "jvm",
+) -> DataFrame:
+    """Adds the m-entry PQ code array (nearest codebook entry per
+    subspace, squared-L2, ties to the lowest code). ``engine="jvm"``
+    builds the argmin as pure column expressions (no UDF, whole-stage
+    codegen; plan size grows with m * codebook_size — fine to ~256 total
+    entries). ``engine="pandas"`` runs a vectorized Arrow batch kernel
+    (one einsum per subspace) — the path for production codebook sizes
+    (m=8..16, codebook_size=256). Both produce bit-identical codes (the
+    distance folds are ordered identically; pinned in tests)."""
+    m, k, dsub = codebooks.shape
+    if engine == "jvm":
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        codes = []
+        for s in range(m):
+            sub = F.slice(v, s * dsub + 1, dsub)
+
+            def dist2(cent: np.ndarray, sub=sub):
+                carr = F.array(*[F.lit(float(x)) for x in cent])
+                return F.aggregate(
+                    F.zip_with(sub, carr, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+
+            dists = F.array(*[dist2(c) for c in codebooks[s]])
+            codes.append(
+                (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            )
+        return df.withColumn(code_col, F.array(*codes))
+    if engine != "pandas":
+        raise ValueError("engine must be 'jvm' or 'pandas'")
+
+    out_fields = df.schema.fields + [
+        T.StructField(code_col, T.ArrayType(T.IntegerType()))
+    ]
+    out_schema = T.StructType(out_fields)
+    books = codebooks.copy()
+
+    def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for s in range(m):
+                sub = vecs[:, s * dsub : (s + 1) * dsub]
+                # (n, k) squared distances; argmin ties -> lowest code,
+                # matching array_position-of-min on the JVM path
+                d = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d.argmin(1)
+            pdf = pdf.copy()
+            pdf[code_col] = [row.tolist() for row in codes]
+            yield pdf
+
+    return df.mapInPandas(encode_batches, schema=out_schema)
+
+
+def pq_adc_lut(
+    codebooks: np.ndarray, query: Sequence[float]
+) -> list[list[float]]:
+    """The ADC lookup table: lut[s][c] = squared L2 between the query's
+    s-th subspace block and codebook entry c, computed as the SEQUENTIAL
+    left fold starting at 0.0 (Python floats are IEEE doubles) so it is
+    bit-identical to the JVM encode fold and to the SQL oracle's explicit
+    addition chain."""
+    m, k, dsub = codebooks.shape
+    q = [float(x) for x in query]
+    if len(q) != m * dsub:
+        raise ValueError(f"query has dim {len(q)}, expected {m * dsub}")
+    lut: list[list[float]] = []
+    for s in range(m):
+        row = []
+        for c in range(k):
+            acc = 0.0
+            for j in range(dsub):
+                diff = q[s * dsub + j] - float(codebooks[s, c, j])
+                acc = acc + diff * diff
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    code_col: str = "pq_code",
+    round_to: int = 6,
+) -> DataFrame:
+    """ADC top-k over PQ codes: the approximate squared distance is the
+    sum of m lookup-table entries selected by the stored codes — a pure
+    column expression over the (id, code) projection; the raw vectors are
+    never read. Plan: TakeOrderedAndProject on (distance, id) — per-
+    partition partial top-k, k-row driver reduction, no full sort, no
+    shuffle of vectors (the module's 100 TB shape). Returns
+    (id, pq_dist) ascending."""
+    m = codebooks.shape[0]
+    lut = pq_adc_lut(codebooks, query)
+    score = F.lit(0.0)
+    for s in range(m):
+        lut_arr = F.array(*[F.lit(x) for x in lut[s]])
+        score = score + F.element_at(lut_arr, F.col(code_col)[s] + 1)
+    return (
+        encoded.select(F.col(id_col), score.alias("__d"))
+        .orderBy(F.col("__d").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round("__d", round_to).alias("pq_dist"))
+    )

@@ -480,11 +480,20 @@ def ivf_train(
         .collect()
     )[:, 0]
     sample = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
-    n = len(sample)
-    k = min(n_cells, n)
     rng = np.random.default_rng(seed)
+    return kmeans_np(sample, n_cells, iters, rng)
 
-    # k-means++ seeding
+
+def kmeans_np(
+    sample: np.ndarray, k: int, iters: int, rng: np.random.Generator
+) -> np.ndarray:
+    """k-means++ seeding + Lloyd iterations with empty-cell reseeding to
+    the farthest point, on an in-memory (n, d) float64 sample.
+    Deterministic for a fixed Generator state. Shared by ivf_train and
+    pq_train (operators/pq.py trains one codebook per subspace)."""
+    n = len(sample)
+    k = min(k, n)
+
     centroids = np.empty((k, sample.shape[1]))
     centroids[0] = sample[rng.integers(n)]
     d2 = ((sample - centroids[0]) ** 2).sum(-1)
