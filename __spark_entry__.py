@@ -842,6 +842,41 @@ SELECT lang, doc_id, ROUND(xi, 6) AS sample_key FROM r WHERE rn <= {k}
 """
 
 
+def _q_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization under the hard gate: the corpus text is first
+    deterministically MESSED (uppercased, spaces widened to space-tab-
+    space, noise prefix/suffix with punctuation appended) so the
+    normalize actually has work to do, then normalize_text(strip_punct=
+    True) must restore canonical lowercase single-spaced form. The
+    oracle replays mess + normalize op-for-op (same regex classes — the
+    explicit [ \\t\\r\\n], never \\s, which differs between Java and RE2;
+    same operation order), hashing all 500 normalized strings."""
+    from ddsketch_ruby_spark.functions.text import normalize_text
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    messed = F.concat(
+        F.lit("  "),
+        F.regexp_replace(F.upper(F.col("text")), " ", " \t "),
+        F.lit(" ... END!! "),
+    )
+    return docs.select(
+        "doc_id", normalize_text(messed, strip_punct=True)
+    )
+
+
+_NORMALIZE_ORACLE = r"""
+SELECT doc_id,
+       TRIM(REGEXP_REPLACE(
+         REGEXP_REPLACE(
+           LOWER('  ' || REGEXP_REPLACE(UPPER(text), ' ',
+                                        ' ' || CHR(9) || ' ', 'g')
+                 || ' ... END!! '),
+           '[^a-z0-9 \t\r\n]', ' ', 'g'),
+         '[ \t\r\n]+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -2850,7 +2885,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_spans_documents": _q_duplicate_spans,
     "hash_split_documents": _q_hash_split,
     "mg_heavy_items": _q_mg_heavy_items,
-    "exact_dedup_documents": _q_exact_dedup_documents,
+    "normalize_documents": _q_normalize_documents,
     "exact_dedup_hashed": _q_exact_dedup_hashed,
     "token_stats_by_lang": _q_token_stats_by_lang,
     "langid_documents": _q_langid_documents,
@@ -2918,6 +2953,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_rollup_doclen": _q_ddsketch_rollup,
     "ddsketch_q_of_q_user_value": _q_ddsketch_q_of_q,
     "ddsketch_multi_lineitem": _q_ddsketch_multi,
+    "exact_dedup_documents": _q_exact_dedup_documents,
 }
 
 DRIVER_GATE_WINDOW = 50  # observed driver truncation (CORRECTNESS_r03)
@@ -4265,6 +4301,7 @@ ORACLES["hash_split_documents"] = _hash_split_oracle_sql()
 ORACLES["mg_heavy_items"] = _mg_oracle_sql()
 ORACLES["stream_kmv_daily"] = _stream_kmv_oracle_sql(k=32)
 ORACLES["pq_topk_embeddings"] = _pq_oracle_sql(k=10)
+ORACLES["normalize_documents"] = _NORMALIZE_ORACLE
 # stream = batch = SQL: the streamed sample must equal the batch sample
 ORACLES["stream_weighted_sample"] = _weighted_sample_oracle_sql(k=20)
 ORACLES["dedup_clusters_documents"] = _dedup_clusters_oracle_sql()

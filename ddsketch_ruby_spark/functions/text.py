@@ -21,6 +21,7 @@ __all__ = [
     "quality_score",
     "lang_id",
     "doc_fingerprint",
+    "normalize_text",
     "TOKEN_COUNT_SQL",
     "BPE_SPLIT_PATTERN",
 ]
@@ -174,3 +175,23 @@ def doc_fingerprint(c: str) -> Column:
     """64-bit content fingerprint (xxhash64 of the raw text) — the
     byte-identity pin for extracted text per url (north rule)."""
     return F.xxhash64(F.col(c)).alias("fingerprint")
+
+
+def normalize_text(c: str | Column, strip_punct: bool = False) -> Column:
+    """Canonical text normalization for dedup/fingerprint pipelines:
+    lowercase, collapse runs of [space, tab, CR, LF] to single spaces,
+    trim. With ``strip_punct``, additionally drop every char outside
+    [a-z0-9 ] (AFTER lowercasing; adjacent survivors are NOT re-joined —
+    punctuation becomes word boundaries via the whitespace pass, so
+    "don't" -> "don t", matching the alnum-run tokenizer of
+    bpe_token_estimate). Pure JVM expressions.
+
+    The whitespace class is the EXPLICIT [ \\t\\r\\n] (never regex \\s:
+    Java's \\s includes vertical tab and form feed, RE2's does not — an
+    implicit class would silently diverge between engines)."""
+    col = F.col(c) if isinstance(c, str) else c
+    out = F.lower(col)
+    if strip_punct:
+        out = F.regexp_replace(out, "[^a-z0-9 \t\r\n]", " ")
+    out = F.regexp_replace(out, "[ \t\r\n]+", " ")
+    return F.trim(out).alias("norm_text")

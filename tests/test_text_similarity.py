@@ -969,3 +969,34 @@ def test_duplicate_spans_counts_and_hashed_parity(spark):
     expected = docs.sparkSession.sql("SELECT xxhash64('x y z w') AS h").first()["h"]
     assert hr[0]["span"] == expected
     assert (hr[0]["n_docs"], hr[0]["n_occurrences"], hr[0]["first_id"]) == (3, 4, 1)
+
+
+def test_normalize_text_edge_cases(spark):
+    from ddsketch_ruby_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "  Hello\t WORLD \r\n twice  "),
+            (2, "Don't stop-me now!!"),
+            (3, ""),
+            (4, "\t\r\n"),
+            (5, "already clean"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = {
+        r["doc_id"]: r["norm_text"]
+        for r in df.select("doc_id", normalize_text("text")).collect()
+    }
+    assert plain[1] == "hello world twice"
+    assert plain[2] == "don't stop-me now!!"  # punctuation kept by default
+    assert plain[3] == "" and plain[4] == ""
+    assert plain[5] == "already clean"
+    stripped = {
+        r["doc_id"]: r["norm_text"]
+        for r in df.select(
+            "doc_id", normalize_text("text", strip_punct=True)
+        ).collect()
+    }
+    assert stripped[2] == "don t stop me now"  # punct -> word boundary
+    assert stripped[1] == "hello world twice"
