@@ -22,6 +22,7 @@ __all__ = [
     "lang_id",
     "doc_fingerprint",
     "normalize_text",
+    "repetition_ratio",
     "TOKEN_COUNT_SQL",
     "BPE_SPLIT_PATTERN",
 ]
@@ -195,3 +196,21 @@ def normalize_text(c: str | Column, strip_punct: bool = False) -> Column:
         out = F.regexp_replace(out, "[^a-z0-9 \t\r\n]", " ")
     out = F.regexp_replace(out, "[ \t\r\n]+", " ")
     return F.trim(out).alias("norm_text")
+
+
+def repetition_ratio(c: str | Column, n: int = 2) -> Column:
+    """Within-document repetition: the fraction of word ``n``-grams that
+    are repeats of an earlier occurrence, 1 - distinct/total (0.0 for
+    docs shorter than n words). The Gopher-style repetition filter
+    signal (Rae et al. 2021 §A1.1 use duplicate 2-/3-/4-gram fractions
+    to drop boilerplate-heavy pages). Pure JVM array expressions over
+    operators/dedup.py word_ngrams; one exact double division."""
+    from ..operators.dedup import word_ngrams
+
+    grams = word_ngrams(c, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(
+        total > 0,
+        F.lit(1.0) - distinct.cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0)).alias(f"rep_{n}")

@@ -1000,3 +1000,24 @@ def test_normalize_text_edge_cases(spark):
     }
     assert stripped[2] == "don t stop me now"  # punct -> word boundary
     assert stripped[1] == "hello world twice"
+
+
+def test_repetition_ratio(spark):
+    from ddsketch_ruby_spark.functions.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # 2-grams: ab ba ab ba ab -> 2 distinct of 5
+            (2, "a b c d e f"),       # all distinct
+            (3, "x"),                 # shorter than n -> 0.0
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    r = {
+        x["doc_id"]: x["rep_2"]
+        for x in df.select("doc_id", repetition_ratio("text", 2)).collect()
+    }
+    assert r[1] == pytest.approx(1.0 - 2 / 5)
+    assert r[2] == 0.0
+    assert r[3] == 0.0 and r[4] == 0.0
