@@ -442,6 +442,145 @@ SELECT vec_id, ROUND(dd, 6) AS pq_dist FROM ranked WHERE rn <= {k}
 """
 
 
+_IVFPQ_CELLS = 8
+
+
+def _ivfpq_model() -> tuple:
+    """Seeded coarse centroids + seeded PQ codebooks — both plan-time
+    constants (the LSH-planes/pq_codebook precedent), which is what lets
+    the oracle replay assignment, residual encode, and per-cell ADC
+    without retraining. The trained path (ivf_train + pq_train) shares
+    every downstream expression and is pinned by pytest."""
+    import numpy as np
+
+    from ddsketch_ruby_spark.operators.pq import pq_codebook
+
+    cents = np.random.default_rng(7).normal(0.0, 0.125, (_IVFPQ_CELLS, 64))
+    books = pq_codebook(**_PQ_GEOM)
+    return cents, books
+
+
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the FAISS production ANN layout) under the hard gate in
+    EXHAUSTIVE mode (nprobe = n_cells): coarse assignment, residual PQ
+    encode, and per-cell ADC scoring are ALL value-hash-matched — the
+    same ordered-left-fold float discipline as pq_topk_embeddings,
+    extended by one quantization level (the residual subtraction order
+    (e[j] - centroid) - codeword is preserved op-for-op in the SQL).
+    Truncated nprobe pruning is pinned by pytest parity instead."""
+    from ddsketch_ruby_spark.operators.pq import ivfpq_encode, ivfpq_topk
+
+    cents, books = _ivfpq_model()
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    enc = ivfpq_encode(emb, "embedding", cents, books)
+    return ivfpq_topk(
+        enc, cents, books, "vec_id", query, k=10, nprobe=_IVFPQ_CELLS
+    )
+
+
+def _ivfpq_oracle_sql(k: int = 10) -> str:
+    cents, books = _ivfpq_model()
+    n_cells, dim = cents.shape
+    m, cbk, dsub = books.shape
+
+    cell_rows = ",\n".join(
+        f"({c}, " + ", ".join(_dlit(float(x)) for x in cents[c]) + ")"
+        for c in range(n_cells)
+    )
+    cell_cols = ", ".join(f"d{j}" for j in range(1, dim + 1))
+    cent_rows = ",\n".join(
+        f"({c}, {s}, "
+        + ", ".join(
+            _dlit(float(cents[c, s * dsub + j])) for j in range(dsub)
+        )
+        + ")"
+        for c in range(n_cells)
+        for s in range(m)
+    )
+    cb_rows = ",\n".join(
+        f"({s}, {c}, "
+        + ", ".join(_dlit(float(books[s, c, j])) for j in range(dsub))
+        + ")"
+        for s in range(m)
+        for c in range(cbk)
+    )
+    sub_cols = ", ".join(f"s{j}" for j in range(1, dsub + 1))
+    code_cols = ", ".join(f"b{j}" for j in range(1, dsub + 1))
+
+    assign_chain = "CAST(0 AS DOUBLE)"
+    for j in range(1, dim + 1):
+        assign_chain = f"({assign_chain} + (e[{j}] - d{j}) * (e[{j}] - d{j}))"
+
+    def resid_chain(vec: str) -> str:
+        expr = "CAST(0 AS DOUBLE)"
+        for j in range(1, dsub + 1):
+            t = f"(({vec}[cb.sub*{dsub}+{j}] - s{j}) - b{j})"
+            expr = f"({expr} + {t} * {t})"
+        return expr
+
+    pivots = ", ".join(
+        f"MAX(CASE WHEN e.sub = {s} THEN l.qd END) AS p{s}" for s in range(m)
+    )
+    total = "CAST(0 AS DOUBLE)"
+    for s in range(m):
+        total = f"({total} + p{s})"
+    return f"""
+WITH cells(cell, {cell_cols}) AS (VALUES
+{cell_rows}
+),
+cent(cell, sub, {sub_cols}) AS (VALUES
+{cent_rows}
+),
+cb(sub, code, {code_cols}) AS (VALUES
+{cb_rows}
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ad AS (SELECT v.vec_id, cells.cell, {assign_chain} AS dist
+       FROM v CROSS JOIN cells),
+ar AS (SELECT vec_id, cell,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+                AS rn
+       FROM ad),
+asg AS (SELECT vec_id, cell FROM ar WHERE rn = 1),
+rd AS (
+  SELECT a.vec_id, cb.sub, cb.code, {resid_chain("e")} AS dist
+  FROM asg a JOIN v USING (vec_id)
+  CROSS JOIN cb
+  JOIN cent ON cent.cell = a.cell AND cent.sub = cb.sub
+),
+re AS (
+  SELECT vec_id, sub, code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code)
+           AS rn
+  FROM rd
+),
+lutq AS (
+  SELECT cent.cell, cb.sub, cb.code, {resid_chain("qv")} AS qd
+  FROM cb JOIN cent ON cent.sub = cb.sub CROSS JOIN q
+),
+sc AS (
+  SELECT e.vec_id, {pivots}
+  FROM re e
+  JOIN asg a USING (vec_id)
+  JOIN lutq l ON l.cell = a.cell AND l.sub = e.sub AND l.code = e.code
+  WHERE e.rn = 1
+  GROUP BY e.vec_id
+),
+scored AS (SELECT vec_id, {total} AS dd FROM sc),
+ranked AS (
+  SELECT vec_id, dd, ROW_NUMBER() OVER (ORDER BY dd, vec_id) AS rn
+  FROM scored
+)
+SELECT vec_id, ROUND(dd, 6) AS pq_dist FROM ranked WHERE rn <= {k}
+"""
+
+
 def _q_ivf_ann_join_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch IVF under the hard gate via EXHAUSTIVE probing: with
     nprobe == n_cells every query joins every cell, so k-means training,
@@ -2915,6 +3054,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_join_topk": _q_lsh_ann_join,
     "ivf_ann_join_exhaustive": _q_ivf_ann_join_exhaustive,
     "pq_topk_embeddings": _q_pq_topk,
+    "ivfpq_topk_embeddings": _q_ivfpq_topk,
     "weighted_sample_documents": _q_weighted_sample_docs,
     "hll_overlap_event_types": _q_hll_overlap,
     "kmv_overlap_event_buckets": _q_kmv_overlap,
@@ -2929,7 +3069,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_documents": _q_normalize_documents,
     "repetition_documents": _q_repetition_documents,
     "exact_dedup_hashed": _q_exact_dedup_hashed,
-    "langid_documents": _q_langid_documents,
     "minhash_near_dup_pairs": _q_minhash_pairs,
     "ngram_jaccard_pairs": lambda spark, sf_dir: __import__(
         "ddsketch_ruby_spark.operators.dedup", fromlist=["ngram_jaccard_pairs"]
@@ -2996,6 +3135,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_multi_lineitem": _q_ddsketch_multi,
     "exact_dedup_documents": _q_exact_dedup_documents,
     "token_stats_by_lang": _q_token_stats_by_lang,
+    "langid_documents": _q_langid_documents,
 }
 
 DRIVER_GATE_WINDOW = 50  # observed driver truncation (CORRECTNESS_r03)
@@ -4345,6 +4485,7 @@ ORACLES["stream_kmv_daily"] = _stream_kmv_oracle_sql(k=32)
 ORACLES["pq_topk_embeddings"] = _pq_oracle_sql(k=10)
 ORACLES["normalize_documents"] = _NORMALIZE_ORACLE
 ORACLES["repetition_documents"] = _repetition_oracle_sql()
+ORACLES["ivfpq_topk_embeddings"] = _ivfpq_oracle_sql(k=10)
 # stream = batch = SQL: the streamed sample must equal the batch sample
 ORACLES["stream_weighted_sample"] = _weighted_sample_oracle_sql(k=20)
 ORACLES["dedup_clusters_documents"] = _dedup_clusters_oracle_sql()

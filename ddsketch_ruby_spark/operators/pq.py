@@ -35,7 +35,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["pq_codebook", "pq_train", "pq_encode", "pq_topk", "pq_adc_lut"]
+__all__ = [
+    "pq_codebook",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
+    "pq_adc_lut",
+    "ivfpq_encode",
+    "ivfpq_topk",
+]
 
 
 def _check_geometry(dim: int, m: int) -> int:
@@ -213,6 +221,92 @@ def pq_topk(
     return (
         encoded.select(F.col(id_col), score.alias("__d"))
         .orderBy(F.col("__d").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round("__d", round_to).alias("pq_dist"))
+    )
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+    engine: str = "jvm",
+) -> DataFrame:
+    """IVF-PQ ingest (the FAISS IVFPQ layout): assign each vector to its
+    nearest coarse centroid (operators/similarity.py ivf_assign — pure
+    JVM argmin), then PQ-encode the RESIDUAL v - centroid[cell]. Residual
+    energy is a fraction of vector energy, so the same codebook budget
+    quantizes much finer than raw-vector PQ. The stored index row is
+    (id, cell, m codes) — at production sizes ~12 B against a 256 B
+    vector; partition the output by ``cell_col`` for pruned probes (the
+    ivf_write_index layout)."""
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(df, vec_col, centroids, cell_col)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    chosen = F.element_at(
+        F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c])
+                for c in centroids
+            ]
+        ),
+        F.col(cell_col) + 1,
+    )
+    resid = F.zip_with(v, chosen, lambda a, b: a - b)
+    out = pq_encode(
+        assigned.withColumn("__resid", resid), "__resid", codebooks,
+        code_col, engine,
+    )
+    return out.drop("__resid")
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+    round_to: int = 6,
+) -> DataFrame:
+    """ADC top-k over an IVF-PQ index: probe the ``nprobe`` cells nearest
+    the query; within each probed cell score codes against that CELL'S
+    lookup table (built on the query residual q - centroid[cell] — the
+    table differs per cell, which is why the per-cell frames union rather
+    than sharing one expression). Only (id, cell, code) columns are read;
+    with a cell-partitioned index the non-probed cells are pruned at
+    planning time. nprobe = len(centroids) is exhaustive — exact ADC
+    ranking over the whole index (the driver-gate mode)."""
+    from .similarity import _probe_cells
+
+    m = codebooks.shape[0]
+    probes = _probe_cells(centroids, query, nprobe)
+    q = [float(x) for x in query]
+    frames = []
+    for c in probes:
+        rq = [q[i] - float(centroids[c][i]) for i in range(len(q))]
+        lut = pq_adc_lut(codebooks, rq)
+        score = F.lit(0.0)
+        for s in range(m):
+            lut_arr = F.array(*[F.lit(x) for x in lut[s]])
+            score = score + F.element_at(lut_arr, F.col(code_col)[s] + 1)
+        frames.append(
+            encoded.filter(F.col(cell_col) == c).select(
+                F.col(id_col), score.alias("__d")
+            )
+        )
+    un = frames[0]
+    for f in frames[1:]:
+        un = un.unionByName(f)
+    return (
+        un.orderBy(F.col("__d").asc(), F.col(id_col).asc())
         .limit(k)
         .select(id_col, F.round("__d", round_to).alias("pq_dist"))
     )

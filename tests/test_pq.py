@@ -125,3 +125,127 @@ def test_geometry_and_lut_validation():
     books = pq_codebook(dim=64, m=8, codebook_size=4)
     with pytest.raises(ValueError):
         pq_adc_lut(books, [0.0] * 63)
+
+
+def _seeded_model():
+    cents = np.random.default_rng(7).normal(0.0, 0.125, (8, 64))
+    books = pq_codebook(dim=64, m=8, codebook_size=16, seed=42)
+    return cents, books
+
+
+def test_ivfpq_encode_engines_agree(spark, emb):
+    from ddsketch_ruby_spark.operators.pq import ivfpq_encode
+
+    cents, books = _seeded_model()
+    a = {
+        r["vec_id"]: (r["ivf_cell"], list(r["pq_code"]))
+        for r in ivfpq_encode(emb, "embedding", cents, books).collect()
+    }
+    b = {
+        r["vec_id"]: (r["ivf_cell"], list(r["pq_code"]))
+        for r in ivfpq_encode(
+            emb, "embedding", cents, books, engine="pandas"
+        ).collect()
+    }
+    assert a == b
+    # every vector landed in a valid cell; codes are residual codes
+    assert all(0 <= c < 8 for c, _ in a.values())
+
+
+def _ivfpq_numpy_scores(rows, cents, books, query):
+    vecs = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    cell = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+    resid = vecs - cents[cell]
+    codes = _np_codes(resid, books)
+    q = np.asarray(query, dtype=np.float64)
+    scores = np.empty(len(rows))
+    m, k, dsub = books.shape
+    for i in range(len(rows)):
+        rq = q - cents[cell[i]]
+        lut = np.asarray(pq_adc_lut(books, rq))
+        scores[i] = lut[np.arange(m), codes[i]].sum()
+    return cell, scores
+
+
+def test_ivfpq_exhaustive_matches_numpy(spark, emb):
+    from ddsketch_ruby_spark.operators.pq import ivfpq_encode, ivfpq_topk
+
+    cents, books = _seeded_model()
+    rows = emb.collect()
+    query = [float(x) for x in rows[0]["embedding"]]
+    enc = ivfpq_encode(emb, "embedding", cents, books)
+    got = [
+        (r["vec_id"], r["pq_dist"])
+        for r in ivfpq_topk(
+            enc, cents, books, "vec_id", query, k=10, nprobe=8
+        ).collect()
+    ]
+    _, scores = _ivfpq_numpy_scores(rows, cents, books, query)
+    order = sorted(
+        range(len(rows)), key=lambda i: (scores[i], rows[i]["vec_id"])
+    )
+    want = [(rows[i]["vec_id"], round(float(scores[i]), 6)) for i in order[:10]]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert got == pytest.approx(want)
+
+
+def test_ivfpq_truncated_probe_is_cell_restricted_exhaustive(spark, emb):
+    from ddsketch_ruby_spark.operators.pq import ivfpq_encode, ivfpq_topk
+    from ddsketch_ruby_spark.operators.similarity import _probe_cells
+
+    cents, books = _seeded_model()
+    rows = emb.collect()
+    query = [float(x) for x in rows[5]["embedding"]]
+    enc = ivfpq_encode(emb, "embedding", cents, books)
+    got = [
+        (r["vec_id"], r["pq_dist"])
+        for r in ivfpq_topk(
+            enc, cents, books, "vec_id", query, k=10, nprobe=2
+        ).collect()
+    ]
+    probes = set(_probe_cells(cents, query, 2))
+    cell, scores = _ivfpq_numpy_scores(rows, cents, books, query)
+    cand = [i for i in range(len(rows)) if cell[i] in probes]
+    order = sorted(cand, key=lambda i: (scores[i], rows[i]["vec_id"]))
+    want = [(rows[i]["vec_id"], round(float(scores[i]), 6)) for i in order[:10]]
+    assert got == pytest.approx(want)
+
+
+def test_residual_encoding_beats_raw_pq_distortion(spark, emb):
+    """The point of IVF-PQ: quantizing residuals with TRAINED components
+    reconstructs with lower error than raw-vector PQ on the same
+    codebook budget."""
+    from ddsketch_ruby_spark.operators.pq import ivfpq_encode
+    from ddsketch_ruby_spark.operators.similarity import ivf_train
+
+    cents = ivf_train(emb, "embedding", n_cells=8, sample_fraction=1.0)
+    vecs = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()]
+    )
+    cell = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+    resid = vecs - cents[cell]
+    raw_books = pq_train(
+        emb, "embedding", dim=64, m=8, codebook_size=16, sample_fraction=1.0
+    )
+
+    # train residual codebooks on the residuals themselves
+    from ddsketch_ruby_spark.operators.similarity import kmeans_np
+
+    rng = np.random.default_rng(42)
+    res_books = np.stack(
+        [
+            kmeans_np(resid[:, s * 8 : (s + 1) * 8], 16, 10, rng)
+            for s in range(8)
+        ]
+    )
+
+    def distortion(base, books):
+        codes = _np_codes(base, books)
+        err = 0.0
+        for s in range(8):
+            sub = base[:, s * 8 : (s + 1) * 8]
+            err += ((sub - books[s][codes[:, s]]) ** 2).sum()
+        return err / len(base)
+
+    # reconstruction error of (centroid + residual code) vs raw code
+    assert distortion(resid, res_books) < distortion(vecs, raw_books)
