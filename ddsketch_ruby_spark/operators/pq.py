@@ -43,6 +43,8 @@ __all__ = [
     "pq_adc_lut",
     "ivfpq_encode",
     "ivfpq_topk",
+    "ivfpq_write_index",
+    "ivfpq_topk_indexed",
 ]
 
 
@@ -309,4 +311,72 @@ def ivfpq_topk(
         un.orderBy(F.col("__d").asc(), F.col(id_col).asc())
         .limit(k)
         .select(id_col, F.round("__d", round_to).alias("pq_dist"))
+    )
+
+
+def ivfpq_write_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    engine: str = "jvm",
+) -> None:
+    """Persist an IVF-PQ index: (id, cell, codes) rows PARTITIONED BY
+    cell, with centroids + codebooks stored alongside (model.json — the
+    layout ivf_write_index/lsh_write_index use). The raw vectors are NOT
+    written: the index row is ~12 B, so the persisted index is ~20x
+    smaller than the corpus' vector column and every query is a
+    partition-pruned read of nprobe cells OVER CODES ONLY — the combined
+    IVF (read less) and PQ (read smaller) 100 TB shape. Pass trained
+    (ivf_train, pq_train) or seeded components; queries recompute
+    nothing."""
+    import json
+
+    enc = ivfpq_encode(df, vec_col, centroids, codebooks, engine=engine)
+    enc.select(id_col, "ivf_cell", "pq_code").withColumnRenamed(
+        "ivf_cell", "cell"
+    ).write.partitionBy("cell").mode("overwrite").parquet(f"{path}/codes")
+    meta = {
+        "centroids": centroids.tolist(),
+        "codebooks": codebooks.tolist(),
+        "id_col": id_col,
+    }
+    spark = df.sparkSession
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{path}/model.json")
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Query a persisted IVF-PQ index: the probe-cell filter is on the
+    PARTITION column (verify with .explain -> 'PartitionFilters:
+    [cell IN ...]'), so non-probed cells are never read, and the read
+    rows are (id, codes) only. Scoring is identical to ivfpq_topk."""
+    import json
+
+    meta = json.loads(
+        spark.read.text(f"{path}/model.json").collect()[0].value
+    )
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
+    codes = spark.read.parquet(f"{path}/codes")
+    return ivfpq_topk(
+        codes,
+        centroids,
+        codebooks,
+        meta["id_col"],
+        query,
+        k=k,
+        nprobe=nprobe,
+        cell_col="cell",
+        round_to=round_to,
     )

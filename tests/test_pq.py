@@ -249,3 +249,38 @@ def test_residual_encoding_beats_raw_pq_distortion(spark, emb):
 
     # reconstruction error of (centroid + residual code) vs raw code
     assert distortion(resid, res_books) < distortion(vecs, raw_books)
+
+
+def test_ivfpq_index_prunes_stores_no_vectors_and_matches_fly(
+    spark, emb, tmp_path
+):
+    from ddsketch_ruby_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_topk_indexed,
+        ivfpq_write_index,
+    )
+
+    cents, books = _seeded_model()
+    path = str(tmp_path / "ivfpqidx")
+    ivfpq_write_index(emb, path, "embedding", "vec_id", cents, books)
+    # the persisted rows are codes only — no vector column on disk
+    codes = spark.read.parquet(f"{path}/codes")
+    assert set(codes.columns) == {"vec_id", "pq_code", "cell"}
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 2).collect()[0]["embedding"]
+    ]
+    res = ivfpq_topk_indexed(spark, path, query, k=5, nprobe=2)
+    import re
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan
+    assert codes.select("cell").distinct().count() > 2  # pruning is real
+    fly = ivfpq_topk(
+        ivfpq_encode(emb, "embedding", cents, books),
+        cents, books, "vec_id", query, k=5, nprobe=2,
+    )
+    assert [(r["vec_id"], r["pq_dist"]) for r in res.collect()] == [
+        (r["vec_id"], r["pq_dist"]) for r in fly.collect()
+    ]
