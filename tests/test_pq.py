@@ -284,3 +284,19 @@ def test_ivfpq_index_prunes_stores_no_vectors_and_matches_fly(
     assert [(r["vec_id"], r["pq_dist"]) for r in res.collect()] == [
         (r["vec_id"], r["pq_dist"]) for r in fly.collect()
     ]
+
+
+def test_pandas_encode_survives_empty_partitions(spark):
+    """mapInPandas sees empty Arrow batches whenever partitions outnumber
+    rows — the pandas engine must pass them through, not np.stack([])."""
+    from ddsketch_ruby_spark.operators.pq import ivfpq_encode
+
+    cents, books = _seeded_model()
+    few = spark.createDataFrame(
+        [(i, np.random.default_rng(i).normal(0, 0.125, 64).tolist())
+         for i in range(3)],
+        "vec_id long, embedding array<double>",
+    ).repartition(16)  # 13+ empty partitions
+    enc = pq_encode(few, "embedding", books, engine="pandas")
+    assert enc.count() == 3
+    assert ivfpq_encode(few, "embedding", cents, books, engine="pandas").count() == 3
