@@ -168,7 +168,21 @@ def register_sketch_sql(
             out.append(bool(spec.contains(state, [int(h[i])])[0]))
         return pd.Series(out, dtype="bool")
 
+    @pandas_udf(T.DoubleType())
+    def kmv_card(minima: pd.Series, k: pd.Series) -> pd.Series:
+        from ..sketches.kmv import kmv_estimate
+
+        if len(minima) == 0:
+            return pd.Series([], dtype="float64")
+        ks = k.to_numpy()
+        out = []
+        for i in range(len(minima)):
+            state = np.frombuffer(bytes(minima.iloc[i]), dtype=np.uint64)
+            out.append(float(kmv_estimate(state, int(ks[i]))))
+        return pd.Series(out, dtype="float64")
+
     spark.udf.register("ddsketch_q", ddsketch_q)
+    spark.udf.register("kmv_card", kmv_card)
     spark.udf.register("hll_card", hll_card)
     spark.udf.register("cms_est", cms_est)
     spark.udf.register("bloom_maybe", bloom_maybe)

@@ -107,3 +107,30 @@ def test_cms_est_and_bloom_maybe_sql(spark, sf_dir):
     for k, m in got.items():
         if k in present:
             assert m, k  # no false negatives
+
+
+def test_kmv_card_sql(spark):
+    """A persisted KMV state table is queryable from plain SQL: exact
+    below k, estimator at k, matching the kernel function exactly."""
+    from ddsketch_ruby_spark.functions.sql_udfs import register_sketch_sql
+    from ddsketch_ruby_spark.operators.agg import sketch_agg
+    from ddsketch_ruby_spark.sketches.kmv import KmvSpec, kmv_estimate
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    register_sketch_sql(spark)
+    df = spark.range(5000).select(
+        (F.col("id") % 2).alias("g"), F.xxhash64("id").alias("h")
+    )
+    states = sketch_agg(df, KmvSpec(k=64), "h", ["g"], output="state")
+    states.createOrReplaceTempView("kmv_states")
+    got = {
+        r["g"]: r["card"]
+        for r in spark.sql(
+            "SELECT g, kmv_card(minima, 64) AS card FROM kmv_states"
+        ).collect()
+    }
+    for r in states.collect():
+        state = np.frombuffer(bytes(r["minima"]), dtype=np.uint64)
+        assert got[r["g"]] == kmv_estimate(state, 64)
+        assert abs(got[r["g"]] - 2500) / 2500 < 0.3

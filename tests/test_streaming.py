@@ -593,3 +593,48 @@ def test_sketch_finalize_states_roundtrip(spark):
     assert {f.name for f in sf.schema.fields} == {"g", "minima"}
     with pytest.raises(ValueError):
         sketch_finalize(states_a, spec, ["g"], output="bogus")
+
+
+def test_stream_mg_heavy_hitters_guarantee(spark, stream_dir):
+    """Misra-Gries as streaming state: after three micro-batches the
+    per-group summary must satisfy est <= true <= est + n/(k+1) against
+    the exact batch counts, and every guaranteed-heavy item must be
+    tracked — the PODS-2012 merge guarantee applied to the stream's
+    incremental folds."""
+    from ddsketch_ruby_spark.sketches.mg import MGSpec
+
+    d, src = stream_dir
+    k = 12
+    item = (F.col("event_id") % (F.lit(1) + F.col("event_id") % F.lit(32))).alias("item")
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .select("event_type", item)
+    )
+    out = sketch_stream_agg(stream, MGSpec(k=k), "item", ["event_type"])
+    mem = _run_stream(spark, out, "mg_updates")
+    pdf = mem.toPandas()
+    final = pdf.groupby("event_type").tail(1)
+    exact = {
+        (r["event_type"], r["item"]): r["c"]
+        for r in src.select("event_type", item)
+        .groupBy("event_type", "item")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n_by = {}
+    for (et, _), c in exact.items():
+        n_by[et] = n_by.get(et, 0) + c
+    for _, row in final.iterrows():
+        et = row["event_type"]
+        assert row["n"] == n_by[et]
+        est = dict(zip(row["items"], row["ests"]))
+        assert len(est) <= k
+        for (e2, it), c in exact.items():
+            if e2 != et:
+                continue
+            e = est.get(it, 0)
+            assert e <= c and (c - e) * (k + 1) <= row["n"]
+            if c * (k + 1) > row["n"]:
+                assert it in est
