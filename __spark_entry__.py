@@ -774,6 +774,81 @@ WHERE l.id IS NULL OR l.cluster_id = d.doc_id
 """
 
 
+def _q_ddsketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift on the sketch's bucket grid under the hard
+    gate: events split by even/odd event_id (shifted by -50 so negative
+    values exercise the negative zone), per event_type. Both engines
+    build the SAME gamma-quantized (zone, key) histograms — the DuckDB
+    side uses per-zone CTEs with the established LN-ratio key expression
+    — then cumulative-sum in real-line bucket order (zone, zone*key)
+    and take max |cdf_a - cdf_b|: integer counts until two correctly-
+    rounded divisions, so the statistic hash-matches."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_drift
+
+    (events,) = _tables(spark, sf_dir, "events")
+    src = events.select(
+        "event_type",
+        (F.col("value") - F.lit(50.0)).alias("v"),
+        (F.col("event_id") % 2 == 0).alias("is_b"),
+    )
+    return ddsketch_drift(
+        src, "v", "is_b", ["event_type"], relative_accuracy=ALPHA
+    )
+
+
+def _ddsketch_drift_oracle_sql() -> str:
+    from ddsketch_ruby_spark.kernel.mapping import mapping_from_name
+
+    m = mapping_from_name("logarithmic", ALPHA)
+    mp = m.min_possible
+    key = lambda col: (  # noqa: E731
+        f"CAST(CEIL(LN({col}) / LN(2.0) * {_dlit(m._multiplier)}) AS BIGINT)"
+    )
+    cum = (
+        "OVER (PARTITION BY event_type ORDER BY zone, zone * k "
+        "ROWS UNBOUNDED PRECEDING)"
+    )
+    tot = "OVER (PARTITION BY event_type)"
+    return f"""
+WITH src AS (
+  SELECT event_type, CAST(value - 50.0 AS DOUBLE) AS v,
+         (event_id % 2 = 0) AS b
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+pz AS (SELECT event_type, b, 1 AS zone, {key("v")} AS k,
+              CAST(COUNT(*) AS DOUBLE) AS c
+       FROM src WHERE v > {_dlit(mp)} GROUP BY event_type, b, 4),
+nz AS (SELECT event_type, b, -1 AS zone, {key("-v")} AS k,
+              CAST(COUNT(*) AS DOUBLE) AS c
+       FROM src WHERE v < {_dlit(-mp)} GROUP BY event_type, b, 4),
+zz AS (SELECT event_type, b, 0 AS zone, CAST(0 AS BIGINT) AS k,
+              CAST(COUNT(*) AS DOUBLE) AS c
+       FROM src WHERE v >= {_dlit(-mp)} AND v <= {_dlit(mp)}
+       GROUP BY event_type, b),
+h AS (SELECT * FROM pz UNION ALL SELECT * FROM nz
+      UNION ALL SELECT * FROM zz),
+piv AS (
+  SELECT event_type, zone, k,
+         SUM(CASE WHEN NOT b THEN c ELSE 0.0 END) AS ca,
+         SUM(CASE WHEN b THEN c ELSE 0.0 END) AS cb
+  FROM h GROUP BY event_type, zone, k
+),
+cum AS (
+  SELECT event_type,
+         SUM(ca) {cum} AS fa,
+         SUM(cb) {cum} AS fb,
+         SUM(ca) {tot} AS na,
+         SUM(cb) {tot} AS nb
+  FROM piv
+)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       ROUND(MAX(ABS(fa / na - fb / nb)), 6) AS ks_stat
+FROM cum GROUP BY event_type
+"""
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination under the hard gate: documents with
     doc_id % 37 == 0 play the held-out eval benchmark, the rest are the
@@ -3068,7 +3143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mg_heavy_items": _q_mg_heavy_items,
     "normalize_documents": _q_normalize_documents,
     "repetition_documents": _q_repetition_documents,
-    "exact_dedup_hashed": _q_exact_dedup_hashed,
+    "ddsketch_drift_events": _q_ddsketch_drift,
     "minhash_near_dup_pairs": _q_minhash_pairs,
     "ngram_jaccard_pairs": lambda spark, sf_dir: __import__(
         "ddsketch_ruby_spark.operators.dedup", fromlist=["ngram_jaccard_pairs"]
@@ -3136,6 +3211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup_documents": _q_exact_dedup_documents,
     "token_stats_by_lang": _q_token_stats_by_lang,
     "langid_documents": _q_langid_documents,
+    "exact_dedup_hashed": _q_exact_dedup_hashed,
 }
 
 DRIVER_GATE_WINDOW = 50  # observed driver truncation (CORRECTNESS_r03)
@@ -4486,6 +4562,7 @@ ORACLES["pq_topk_embeddings"] = _pq_oracle_sql(k=10)
 ORACLES["normalize_documents"] = _NORMALIZE_ORACLE
 ORACLES["repetition_documents"] = _repetition_oracle_sql()
 ORACLES["ivfpq_topk_embeddings"] = _ivfpq_oracle_sql(k=10)
+ORACLES["ddsketch_drift_events"] = _ddsketch_drift_oracle_sql()
 # stream = batch = SQL: the streamed sample must equal the batch sample
 ORACLES["stream_weighted_sample"] = _weighted_sample_oracle_sql(k=20)
 ORACLES["dedup_clusters_documents"] = _dedup_clusters_oracle_sql()

@@ -36,6 +36,7 @@ def _dispatch(engine, df, spec, value_col, group_by, weight_col, output, tree_fa
     raise ValueError("engine must be 'auto', 'jvm', or 'python'")
 
 __all__ = [
+    "ddsketch_drift",
     "ddsketch_quantiles",
     "ddsketch_quantiles_long",
     "ddsketch_multi",
@@ -313,3 +314,75 @@ def ddsketch_cdf(
         *group_by, F.explode(F.array(*pairs)).alias("__pc")
     ).select(*group_by, F.col("__pc.probe").alias("probe"), F.col("__pc.cdf").alias("cdf"))
     return out
+
+
+def ddsketch_drift(
+    df: DataFrame,
+    value_col: str,
+    split_col: str,
+    group_by: Iterable[str] = (),
+    relative_accuracy: float = DEFAULT_REL_ACC,
+    round_to: int = 6,
+) -> DataFrame:
+    """Distribution drift between the two sides of a boolean split,
+    measured as the Kolmogorov-Smirnov statistic on the DDSketch bucket
+    grid: D = max over buckets |cdf_a - cdf_b|, where both empirical
+    CDFs are step functions over the SAME gamma-quantized buckets — so D
+    approximates the true two-sample KS within the sketch's relative
+    accuracy, and is EXACTLY reproducible (integer bucket counts, one
+    correctly-rounded division per side per bucket). The training-
+    pipeline monitor: value drift between train/val splits, time
+    windows, or ingest waves, per group.
+
+    Returns (group..., n_a, n_b, ks_stat) — a is split_col = false.
+
+    Scale shape: one scan feeds the (group, split, zone, key) histogram
+    (map-side partial agg; the shuffle carries distinct bucket rows,
+    bounded by the bucket count per group, independent of row count);
+    the CDF window runs over those few-hundred bucket rows per group.
+    Real-line bucket order is (zone, zone*key) — negative-zone keys
+    grow toward more-negative values, so multiplying by the zone sign
+    linearizes all three zones."""
+    from pyspark.sql import Window
+
+    from .ddsketch_jvm import histogram_rows
+
+    groups = list(group_by)
+    spec = DDSketchSpec(
+        relative_accuracy=relative_accuracy, include_stats=False
+    )
+    tagged = df.withColumn("__b", F.col(split_col).cast("boolean"))
+    hist = histogram_rows(tagged, spec, value_col, groups + ["__b"])
+    piv = hist.groupBy(*groups, "__zone", "__key").agg(
+        F.sum(
+            F.when(~F.col("__b"), F.col("__cnt")).otherwise(F.lit(0.0))
+        ).alias("__ca"),
+        F.sum(
+            F.when(F.col("__b"), F.col("__cnt")).otherwise(F.lit(0.0))
+        ).alias("__cb"),
+    )
+    order = [F.col("__zone"), F.col("__zone") * F.col("__key")]
+    wcum = (
+        Window.partitionBy(*groups)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*groups).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = piv.select(
+        *groups,
+        F.sum("__ca").over(wcum).alias("__fa"),
+        F.sum("__cb").over(wcum).alias("__fb"),
+        F.sum("__ca").over(wall).alias("__na"),
+        F.sum("__cb").over(wall).alias("__nb"),
+    )
+    gap = F.abs(F.col("__fa") / F.col("__na") - F.col("__fb") / F.col("__nb"))
+    return (
+        cum.groupBy(*groups)
+        .agg(
+            F.max("__na").cast("long").alias("n_a"),
+            F.max("__nb").cast("long").alias("n_b"),
+            F.round(F.max(gap), round_to).alias("ks_stat"),
+        )
+    )

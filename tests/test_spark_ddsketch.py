@@ -460,3 +460,49 @@ def test_cdf_monotone_and_partition_invariant(spark, events):
     assert cdfs == sorted(cdfs)
     with pytest.raises(ValueError):
         ddsketch_cdf(pos, "value", [])
+
+
+def test_ddsketch_drift_zero_identical_and_one_disjoint(spark):
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_drift
+
+    vals = [float(v) for v in range(1, 200)]
+    same = spark.createDataFrame(
+        [(v, b) for v in vals for b in (True, False)], "v double, b boolean"
+    ).repartition(7)
+    r = ddsketch_drift(same, "v", "b").collect()[0]
+    assert r["ks_stat"] == 0.0 and r["n_a"] == r["n_b"] == 199
+    disjoint = spark.createDataFrame(
+        [(float(v), False) for v in range(1, 100)]
+        + [(float(v), True) for v in range(10_000, 10_099)],
+        "v double, b boolean",
+    )
+    r = ddsketch_drift(disjoint, "v", "b").collect()[0]
+    assert r["ks_stat"] == 1.0
+
+
+def test_ddsketch_drift_tracks_exact_ks(spark):
+    """The bucketized statistic must sit within the sketch's quantization
+    of the exact two-sample KS computed from the raw values."""
+    import numpy as np
+
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_drift
+
+    rng = np.random.default_rng(11)
+    a = rng.lognormal(0.0, 1.0, 4000)
+    b = rng.lognormal(0.3, 1.0, 4000)  # shifted -> real drift
+    df = spark.createDataFrame(
+        [(float(v), False) for v in a] + [(float(v), True) for v in b],
+        "v double, b boolean",
+    ).repartition(9)
+    got = ddsketch_drift(df, "v", "b").collect()[0]["ks_stat"]
+    # exact KS
+    allv = np.sort(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), allv, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), allv, side="right") / len(b)
+    exact = float(np.max(np.abs(fa - fb)))
+    assert exact > 0.1  # the construction really drifts
+    assert abs(got - exact) < 0.02, (got, exact)
+    # grouped path: two groups, per-group stats independent
+    g = df.withColumn("grp", (F.col("v") > 1.0).cast("string"))
+    rows = ddsketch_drift(g, "v", "b", ["grp"]).collect()
+    assert len(rows) == 2 and all(r["ks_stat"] is not None for r in rows)
