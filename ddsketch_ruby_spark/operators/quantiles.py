@@ -37,6 +37,7 @@ def _dispatch(engine, df, spec, value_col, group_by, weight_col, output, tree_fa
 
 __all__ = [
     "ddsketch_drift",
+    "histogram_drift",
     "ddsketch_quantiles",
     "ddsketch_quantiles_long",
     "ddsketch_multi",
@@ -353,13 +354,37 @@ def ddsketch_drift(
     )
     tagged = df.withColumn("__b", F.col(split_col).cast("boolean"))
     hist = histogram_rows(tagged, spec, value_col, groups + ["__b"])
-    piv = hist.groupBy(*groups, "__zone", "__key").agg(
-        F.sum(
-            F.when(~F.col("__b"), F.col("__cnt")).otherwise(F.lit(0.0))
-        ).alias("__ca"),
-        F.sum(
-            F.when(F.col("__b"), F.col("__cnt")).otherwise(F.lit(0.0))
-        ).alias("__cb"),
+    a = hist.filter(~F.col("__b")).drop("__b")
+    b = hist.filter(F.col("__b")).drop("__b")
+    return histogram_drift(a, b, groups, round_to=round_to)
+
+
+def histogram_drift(
+    hist_a: DataFrame,
+    hist_b: DataFrame,
+    group_by: Iterable[str] = (),
+    count_col: str = "__cnt",
+    round_to: int = 6,
+) -> DataFrame:
+    """The KS computation of ddsketch_drift over two ALREADY-BUILT bucket
+    frames (group..., __zone, __key, count) — both must use the same
+    mapping. This is how drift runs against persisted or STREAMED
+    histograms: sketch_stream_hist emits exactly these rows per window,
+    so "drift of each live window vs a baseline" is one call with no
+    rescan of the raw data (only bucket rows move)."""
+    from pyspark.sql import Window
+
+    groups = list(group_by)
+    a = hist_a.select(
+        *groups, "__zone", "__key", F.col(count_col).alias("__ca")
+    ).withColumn("__cb", F.lit(0.0))
+    b = hist_b.select(
+        *groups, "__zone", "__key", F.col(count_col).alias("__cb")
+    ).withColumn("__ca", F.lit(0.0))
+    piv = (
+        a.unionByName(b)
+        .groupBy(*groups, "__zone", "__key")
+        .agg(F.sum("__ca").alias("__ca"), F.sum("__cb").alias("__cb"))
     )
     order = [F.col("__zone"), F.col("__zone") * F.col("__key")]
     wcum = (

@@ -638,3 +638,60 @@ def test_stream_mg_heavy_hitters_guarantee(spark, stream_dir):
             assert e <= c and (c - e) * (k + 1) <= row["n"]
             if c * (k + 1) > row["n"]:
                 assert it in est
+
+
+def test_streamed_window_drift_vs_baseline(spark, stream_dir):
+    """Drift of STREAMED per-window histograms against a batch baseline:
+    sketch_stream_hist emits bucket rows per day-window; histogram_drift
+    consumes them directly (no raw-data rescan) and must equal the batch
+    ddsketch_drift of the same (window vs baseline) split computed from
+    the raw rows."""
+    from ddsketch_ruby_spark.operators.ddsketch_jvm import histogram_rows
+    from ddsketch_ruby_spark.operators.quantiles import (
+        ddsketch_drift,
+        histogram_drift,
+    )
+    from ddsketch_ruby_spark.sketches.ddsketch_spec import DDSketchSpec
+    from ddsketch_ruby_spark.streaming.sketch_stream import sketch_stream_hist
+
+    d, src = stream_dir
+    spec = DDSketchSpec(include_stats=False)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .filter(F.col("value") > 0)
+        .select("ts", "value")
+    )
+    hist = sketch_stream_hist(
+        stream, spec, "value", "ts", window="1 day", watermark=None
+    )
+    mem = _run_stream(spark, hist, "drift_hist_updates")
+    # update-mode emissions carry cumulative counts, which are monotone —
+    # the final histogram is the per-bucket MAX across emissions
+    final = mem.groupBy("window_start", "__zone", "__key").agg(
+        F.max("__cnt").alias("__cnt")
+    )
+    baseline = histogram_rows(
+        src.filter(F.col("value") > 0), spec, "value", []
+    )
+    first_day = final.agg(F.min("window_start")).collect()[0][0]
+    win0 = final.filter(F.col("window_start") == first_day)
+    got = histogram_drift(win0, baseline).collect()[0]
+    # batch reference: same comparison from the raw rows
+    raw = src.filter(F.col("value") > 0).select(
+        "value",
+        (F.col("ts").cast("timestamp") >= F.lit(first_day)).alias("ignore"),
+    )
+    ref_a = histogram_rows(
+        src.filter(
+            (F.col("value") > 0)
+            & (F.window(F.col("ts").cast("timestamp"), "1 day")["start"]
+               == F.lit(first_day))
+        ),
+        spec, "value", [],
+    )
+    ref = histogram_drift(ref_a, baseline).collect()[0]
+    assert (got["n_a"], got["n_b"], got["ks_stat"]) == (
+        ref["n_a"], ref["n_b"], ref["ks_stat"],
+    )
