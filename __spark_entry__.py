@@ -849,6 +849,83 @@ FROM cum GROUP BY event_type
 """
 
 
+def _q_ddsketch_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index on the sketch bucket grid under the
+    hard gate — same even/odd split as ddsketch_drift_events, Laplace-
+    smoothed proportions, and the bm25 integer-sum discipline: each
+    bucket's nonnegative term is ROUND(term * 1e9) summed as BIGINT, so
+    the per-group PSI is an order-insensitive integer sum and the only
+    float risk is a 1-ulp ln() difference landing within 1e-7 of a
+    rounding boundary (same exposure every ln-based gate carries)."""
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_psi
+
+    (events,) = _tables(spark, sf_dir, "events")
+    src = events.select(
+        "event_type",
+        (F.col("value") - F.lit(50.0)).alias("v"),
+        (F.col("event_id") % 2 == 0).alias("is_b"),
+    )
+    return ddsketch_psi(
+        src, "v", "is_b", ["event_type"], relative_accuracy=ALPHA
+    )
+
+
+def _ddsketch_psi_oracle_sql() -> str:
+    from ddsketch_ruby_spark.kernel.mapping import mapping_from_name
+
+    m = mapping_from_name("logarithmic", ALPHA)
+    mp = m.min_possible
+    key = lambda col: (  # noqa: E731
+        f"CAST(CEIL(LN({col}) / LN(2.0) * {_dlit(m._multiplier)}) AS BIGINT)"
+    )
+    tot = "OVER (PARTITION BY event_type)"
+    pa = "((ca + 0.5) / (na + 0.5 * nbk))"
+    pb = "((cb + 0.5) / (nb + 0.5 * nbk))"
+    return f"""
+WITH src AS (
+  SELECT event_type, CAST(value - 50.0 AS DOUBLE) AS v,
+         (event_id % 2 = 0) AS b
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+pz AS (SELECT event_type, b, 1 AS zone, {key("v")} AS k,
+              CAST(COUNT(*) AS DOUBLE) AS c
+       FROM src WHERE v > {_dlit(mp)} GROUP BY event_type, b, 4),
+nz AS (SELECT event_type, b, -1 AS zone, {key("-v")} AS k,
+              CAST(COUNT(*) AS DOUBLE) AS c
+       FROM src WHERE v < {_dlit(-mp)} GROUP BY event_type, b, 4),
+zz AS (SELECT event_type, b, 0 AS zone, CAST(0 AS BIGINT) AS k,
+              CAST(COUNT(*) AS DOUBLE) AS c
+       FROM src WHERE v >= {_dlit(-mp)} AND v <= {_dlit(mp)}
+       GROUP BY event_type, b),
+h AS (SELECT * FROM pz UNION ALL SELECT * FROM nz
+      UNION ALL SELECT * FROM zz),
+piv AS (
+  SELECT event_type, zone, k,
+         SUM(CASE WHEN NOT b THEN c ELSE 0.0 END) AS ca,
+         SUM(CASE WHEN b THEN c ELSE 0.0 END) AS cb
+  FROM h GROUP BY event_type, zone, k
+),
+tot AS (
+  SELECT event_type, ca, cb,
+         SUM(ca) {tot} AS na,
+         SUM(cb) {tot} AS nb,
+         CAST(COUNT(*) {tot} AS DOUBLE) AS nbk
+  FROM piv
+),
+terms AS (
+  SELECT event_type, na, nb,
+         CAST(ROUND(({pa} - {pb}) * LN({pa} / {pb})
+                    * 1000000000.0, 0) AS BIGINT) AS it
+  FROM tot
+)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       ROUND(CAST(SUM(it) AS DOUBLE) / 1000000000.0, 6) AS psi
+FROM terms GROUP BY event_type
+"""
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination under the hard gate: documents with
     doc_id % 37 == 0 play the held-out eval benchmark, the rest are the
@@ -3144,7 +3221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_documents": _q_normalize_documents,
     "repetition_documents": _q_repetition_documents,
     "ddsketch_drift_events": _q_ddsketch_drift,
-    "minhash_near_dup_pairs": _q_minhash_pairs,
+    "ddsketch_psi_events": _q_ddsketch_psi,
     "ngram_jaccard_pairs": lambda spark, sf_dir: __import__(
         "ddsketch_ruby_spark.operators.dedup", fromlist=["ngram_jaccard_pairs"]
     ).ngram_jaccard_pairs(
@@ -3212,6 +3289,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats_by_lang": _q_token_stats_by_lang,
     "langid_documents": _q_langid_documents,
     "exact_dedup_hashed": _q_exact_dedup_hashed,
+    "minhash_near_dup_pairs": _q_minhash_pairs,
 }
 
 DRIVER_GATE_WINDOW = 50  # observed driver truncation (CORRECTNESS_r03)
@@ -4563,6 +4641,7 @@ ORACLES["normalize_documents"] = _NORMALIZE_ORACLE
 ORACLES["repetition_documents"] = _repetition_oracle_sql()
 ORACLES["ivfpq_topk_embeddings"] = _ivfpq_oracle_sql(k=10)
 ORACLES["ddsketch_drift_events"] = _ddsketch_drift_oracle_sql()
+ORACLES["ddsketch_psi_events"] = _ddsketch_psi_oracle_sql()
 # stream = batch = SQL: the streamed sample must equal the batch sample
 ORACLES["stream_weighted_sample"] = _weighted_sample_oracle_sql(k=20)
 ORACLES["dedup_clusters_documents"] = _dedup_clusters_oracle_sql()

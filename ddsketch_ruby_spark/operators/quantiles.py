@@ -38,6 +38,8 @@ def _dispatch(engine, df, spec, value_col, group_by, weight_col, output, tree_fa
 __all__ = [
     "ddsketch_drift",
     "histogram_drift",
+    "ddsketch_psi",
+    "histogram_psi",
     "ddsketch_quantiles",
     "ddsketch_quantiles_long",
     "ddsketch_multi",
@@ -411,3 +413,98 @@ def histogram_drift(
             F.round(F.max(gap), round_to).alias("ks_stat"),
         )
     )
+
+
+_PSI_SCALE = 1e9
+
+
+def histogram_psi(
+    hist_a: DataFrame,
+    hist_b: DataFrame,
+    group_by: Iterable[str] = (),
+    count_col: str = "__cnt",
+    round_to: int = 6,
+) -> DataFrame:
+    """Population stability index over two bucket frames on the same
+    mapping: PSI = sum over buckets of (p_a - p_b) * ln(p_a / p_b), with
+    Laplace smoothing (0.5 added to every bucket count of the UNION
+    grid, so empty-on-one-side buckets contribute finitely). The other
+    standard drift monitor next to KS (histogram_drift): KS sees the
+    worst single point of CDF divergence, PSI accumulates divergence
+    across the whole distribution.
+
+    Determinism (§5 discipline, the bm25 pattern): each bucket's term is
+    nonnegative ((p_a - p_b) and ln(p_a/p_b) share sign), scaled by 1e9
+    and rounded to an INTEGER before summing — the per-group total is an
+    order-insensitive integer sum, immune to float-summation order.
+
+    Returns (group..., n_a, n_b, psi)."""
+    groups = list(group_by)
+    a = hist_a.select(
+        *groups, "__zone", "__key", F.col(count_col).alias("__ca")
+    ).withColumn("__cb", F.lit(0.0))
+    b = hist_b.select(
+        *groups, "__zone", "__key", F.col(count_col).alias("__cb")
+    ).withColumn("__ca", F.lit(0.0))
+    piv = (
+        a.unionByName(b)
+        .groupBy(*groups, "__zone", "__key")
+        .agg(F.sum("__ca").alias("__ca"), F.sum("__cb").alias("__cb"))
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy(*groups).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = piv.select(
+        *groups,
+        "__ca",
+        "__cb",
+        F.sum("__ca").over(wall).alias("__na"),
+        F.sum("__cb").over(wall).alias("__nb"),
+        F.count(F.lit(1)).over(wall).cast("double").alias("__nbuckets"),
+    )
+    pa = (F.col("__ca") + F.lit(0.5)) / (
+        F.col("__na") + F.lit(0.5) * F.col("__nbuckets")
+    )
+    pb = (F.col("__cb") + F.lit(0.5)) / (
+        F.col("__nb") + F.lit(0.5) * F.col("__nbuckets")
+    )
+    term = (pa - pb) * F.log(pa / pb)
+    iterm = F.round(term * F.lit(_PSI_SCALE), 0).cast("long")
+    return (
+        tot.withColumn("__it", iterm)
+        .groupBy(*groups)
+        .agg(
+            F.max("__na").cast("long").alias("n_a"),
+            F.max("__nb").cast("long").alias("n_b"),
+            F.round(
+                F.sum("__it").cast("double") / F.lit(_PSI_SCALE), round_to
+            ).alias("psi"),
+        )
+    )
+
+
+def ddsketch_psi(
+    df: DataFrame,
+    value_col: str,
+    split_col: str,
+    group_by: Iterable[str] = (),
+    relative_accuracy: float = DEFAULT_REL_ACC,
+    round_to: int = 6,
+) -> DataFrame:
+    """PSI drift between the two sides of a boolean split on the sketch's
+    bucket grid — histogram build as in ddsketch_drift (rows with a NULL
+    split are excluded from both sides there and here), statistic as in
+    histogram_psi."""
+    from .ddsketch_jvm import histogram_rows
+
+    groups = list(group_by)
+    spec = DDSketchSpec(
+        relative_accuracy=relative_accuracy, include_stats=False
+    )
+    tagged = df.withColumn("__b", F.col(split_col).cast("boolean"))
+    hist = histogram_rows(tagged, spec, value_col, groups + ["__b"])
+    a = hist.filter(~F.col("__b")).drop("__b")
+    b = hist.filter(F.col("__b")).drop("__b")
+    return histogram_psi(a, b, groups, round_to=round_to)

@@ -506,3 +506,28 @@ def test_ddsketch_drift_tracks_exact_ks(spark):
     g = df.withColumn("grp", (F.col("v") > 1.0).cast("string"))
     rows = ddsketch_drift(g, "v", "b", ["grp"]).collect()
     assert len(rows) == 2 and all(r["ks_stat"] is not None for r in rows)
+
+
+def test_ddsketch_psi_zero_identical_and_large_on_shift(spark):
+    import numpy as np
+
+    from ddsketch_ruby_spark.operators.quantiles import ddsketch_psi
+
+    vals = [float(v) for v in range(1, 300)]
+    same = spark.createDataFrame(
+        [(v, b) for v in vals for b in (True, False)], "v double, b boolean"
+    ).repartition(5)
+    r = ddsketch_psi(same, "v", "b").collect()[0]
+    assert r["psi"] == 0.0  # identical buckets: every term is exactly 0
+    rng = np.random.default_rng(5)
+    a = rng.lognormal(0.0, 1.0, 3000)
+    b = rng.lognormal(0.8, 1.0, 3000)
+    df = spark.createDataFrame(
+        [(float(v), False) for v in a] + [(float(v), True) for v in b],
+        "v double, b boolean",
+    ).repartition(8)
+    drifted = ddsketch_psi(df, "v", "b").collect()[0]["psi"]
+    assert drifted > 0.25  # conventional "significant shift" threshold
+    # partitioning invariance (integer-sum determinism)
+    again = ddsketch_psi(df.repartition(31), "v", "b").collect()[0]["psi"]
+    assert again == drifted
