@@ -46,6 +46,7 @@ __all__ = [
     "ddsketch_state",
     "ddsketch_quantile_of_quantiles",
     "ddsketch_cdf",
+    "sketch_winsorize",
 ]
 
 
@@ -508,3 +509,44 @@ def ddsketch_psi(
     a = hist.filter(~F.col("__b")).drop("__b")
     b = hist.filter(F.col("__b")).drop("__b")
     return histogram_psi(a, b, groups, round_to=round_to)
+
+
+def sketch_winsorize(
+    df: DataFrame,
+    value_col: str,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    relative_accuracy: float = DEFAULT_REL_ACC,
+    out_col: str | None = None,
+    bounds: tuple[float, float] | None = None,
+    round_to: int = 6,
+    **sketch_kwargs,
+) -> DataFrame:
+    """Winsorize a column at sketch quantiles: values below the lower_q
+    quantile clamp up to it, values above upper_q clamp down — the
+    standard outlier-taming step before per-feature normalization in
+    training pipelines, here at one extra scan (the sketch build) for
+    ANY data size. Bounds are rounded to ``round_to`` decimals (the
+    quantile-oracle rounding, so they are bit-reproducible) and the clip
+    is a pure scan-level LEAST/GREATEST — no shuffle, no UDF.
+
+    Pass ``bounds=(lo, hi)`` to reuse boundaries from a previous build
+    (the sketch_boundaries reuse pattern: winsorize a stream or a later
+    ingest wave against LAST month's distribution)."""
+    if bounds is None:
+        if not 0.0 <= lower_q < upper_q <= 1.0:
+            raise ValueError("need 0 <= lower_q < upper_q <= 1")
+        rows = ddsketch_quantiles_long(
+            df,
+            value_col,
+            quantiles={"lo": lower_q, "hi": upper_q},
+            relative_accuracy=relative_accuracy,
+            round_to=round_to,
+            **sketch_kwargs,
+        ).collect()
+        by = {r["qname"]: r["qvalue"] for r in rows}
+        bounds = (by["lo"], by["hi"])
+    lo, hi = float(bounds[0]), float(bounds[1])
+    v = F.col(value_col).cast("double")
+    clipped = F.least(F.greatest(v, F.lit(lo)), F.lit(hi))
+    return df.withColumn(out_col or value_col, clipped)

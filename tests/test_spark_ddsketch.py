@@ -531,3 +531,27 @@ def test_ddsketch_psi_zero_identical_and_large_on_shift(spark):
     # partitioning invariance (integer-sum determinism)
     again = ddsketch_psi(df.repartition(31), "v", "b").collect()[0]["psi"]
     assert again == drifted
+
+
+def test_sketch_winsorize_clamps_and_reuses_bounds(spark):
+    from ddsketch_ruby_spark.operators.quantiles import sketch_winsorize
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])],
+        "id long, v double",
+    )
+    out = sketch_winsorize(df, "v", lower_q=0.1, upper_q=0.9, out_col="w")
+    rows = {r["id"]: r["w"] for r in out.collect()}
+    assert max(rows.values()) < 1000.0  # outlier clamped
+    assert min(rows.values()) >= 1.0
+    # clip preserves order and interior values
+    interior = [rows[i] for i in range(2, 8)]
+    assert interior == sorted(interior)
+    # explicit-bounds reuse path: pure scan-level, no sketch build
+    fixed = sketch_winsorize(df, "v", bounds=(3.0, 7.0), out_col="w")
+    got = {r["id"]: r["w"] for r in fixed.collect()}
+    assert got[0] == 3.0 and got[9] == 7.0 and got[4] == 5.0
+    plan = fixed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        sketch_winsorize(df, "v", lower_q=0.9, upper_q=0.1)
