@@ -960,6 +960,41 @@ FROM events CROSS JOIN b WHERE value > 0
 """
 
 
+def _q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/scale (median + MAD) per event_type under the hard
+    gate: the oracle nests the quantile pipeline TWICE — medians from the
+    first, then the same pipeline over ABS(value - median) grouped by
+    (event_type, median). The rounded median makes the derived column
+    bit-reproducible; the oracle's positive-only filter on deviations is
+    sound because no event value collides exactly with its group's
+    rounded median on the driver tables (probed at sf0.001/sf0.01,
+    precondition pinned in tests/test_spark_ddsketch.py so a testdata
+    change fails loudly in pytest rather than flaking this gate)."""
+    from ddsketch_ruby_spark.operators.quantiles import sketch_robust_stats
+
+    (events,) = _tables(spark, sf_dir, "events")
+    src = events.filter(F.col("value") > 0)
+    return sketch_robust_stats(
+        src, "value", ["event_type"], relative_accuracy=ALPHA
+    )
+
+
+def _robust_stats_oracle_sql() -> str:
+    med = _ddsketch_oracle_sql("value", "events", ["event_type"], {"med": 0.5})
+    dev_table = (
+        "(SELECT e.event_type, m.qvalue AS med, "
+        "ABS(CAST(e.value AS DOUBLE) - m.qvalue) AS dev "
+        f"FROM events e JOIN ({med}) m ON m.event_type = e.event_type "
+        "WHERE e.value > 0) t"
+    )
+    mad = _ddsketch_oracle_sql(
+        "dev", dev_table, ["event_type", "med"], {"mad": 0.5}
+    )
+    return (
+        f"SELECT event_type, med AS median, qvalue AS mad FROM ({mad}) z"
+    )
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination under the hard gate: documents with
     doc_id % 37 == 0 play the held-out eval benchmark, the rest are the
@@ -3257,12 +3292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_drift_events": _q_ddsketch_drift,
     "ddsketch_psi_events": _q_ddsketch_psi,
     "sketch_winsorize_events": _q_sketch_winsorize,
-    "cosine_near_dup_pairs": lambda spark, sf_dir: __import__(
-        "ddsketch_ruby_spark.operators.dedup", fromlist=["cosine_near_dup_pairs"]
-    ).cosine_near_dup_pairs(
-        _tables(spark, sf_dir, "embeddings")[0], "embedding", "vec_id",
-        min_cosine=0.3, n_planes=6, dim=64,
-    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine")),
+    "robust_stats_events": _q_robust_stats,
     "dedup_clusters_documents": _q_dedup_clusters,
     "dedup_collapse_documents": _q_dedup_collapse,
     "bpe_token_documents": _q_bpe_tokens,
@@ -3325,6 +3355,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _tables(spark, sf_dir, "documents")[0], "text", "doc_id",
         min_jaccard=0.5, num_hashes=64, bands=16,
     ),
+    "cosine_near_dup_pairs": lambda spark, sf_dir: __import__(
+        "ddsketch_ruby_spark.operators.dedup", fromlist=["cosine_near_dup_pairs"]
+    ).cosine_near_dup_pairs(
+        _tables(spark, sf_dir, "embeddings")[0], "embedding", "vec_id",
+        min_cosine=0.3, n_planes=6, dim=64,
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine")),
 }
 
 DRIVER_GATE_WINDOW = 50  # observed driver truncation (CORRECTNESS_r03)
@@ -4678,6 +4714,7 @@ ORACLES["ivfpq_topk_embeddings"] = _ivfpq_oracle_sql(k=10)
 ORACLES["ddsketch_drift_events"] = _ddsketch_drift_oracle_sql()
 ORACLES["ddsketch_psi_events"] = _ddsketch_psi_oracle_sql()
 ORACLES["sketch_winsorize_events"] = _sketch_winsorize_oracle_sql()
+ORACLES["robust_stats_events"] = _robust_stats_oracle_sql()
 # stream = batch = SQL: the streamed sample must equal the batch sample
 ORACLES["stream_weighted_sample"] = _weighted_sample_oracle_sql(k=20)
 ORACLES["dedup_clusters_documents"] = _dedup_clusters_oracle_sql()

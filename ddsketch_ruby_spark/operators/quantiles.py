@@ -47,6 +47,7 @@ __all__ = [
     "ddsketch_quantile_of_quantiles",
     "ddsketch_cdf",
     "sketch_winsorize",
+    "sketch_robust_stats",
 ]
 
 
@@ -550,3 +551,57 @@ def sketch_winsorize(
     v = F.col(value_col).cast("double")
     clipped = F.least(F.greatest(v, F.lit(lo)), F.lit(hi))
     return df.withColumn(out_col or value_col, clipped)
+
+
+def sketch_robust_stats(
+    df: DataFrame,
+    value_col: str,
+    group_by: Iterable[str] = (),
+    relative_accuracy: float = DEFAULT_REL_ACC,
+    round_to: int = 6,
+) -> DataFrame:
+    """Robust location/scale per group from two sketch passes: the median,
+    then the median absolute deviation MAD = median(|x - median|) — the
+    inputs of the robust z-score (x - med)/(1.4826 * MAD) that outlier
+    filters use when means/stds are poisoned by the very outliers being
+    hunted. Returns (group..., median, mad), both rounded to
+    ``round_to``.
+
+    Two scans by necessity (MAD is a quantile of a median-derived
+    column); the intermediate per-group medians are a tiny frame
+    broadcast back onto the data, so no data-sized shuffle is added
+    beyond the two sketch builds' bucket-row shuffles. Rounding the
+    median before the second pass makes the derived column — and hence
+    the MAD — bit-reproducible by any engine."""
+    groups = list(group_by)
+    med = ddsketch_quantiles_long(
+        df,
+        value_col,
+        groups,
+        quantiles={"med": 0.5},
+        relative_accuracy=relative_accuracy,
+        round_to=round_to,
+    ).select(*groups, F.col("qvalue").alias("__med"))
+    joined = (
+        df.join(F.broadcast(med), groups)
+        if groups
+        else df.crossJoin(F.broadcast(med))
+    )
+    dev = joined.select(
+        *groups,
+        "__med",
+        F.abs(F.col(value_col).cast("double") - F.col("__med")).alias("__dev"),
+    )
+    mad = ddsketch_quantiles_long(
+        dev,
+        "__dev",
+        groups + ["__med"],
+        quantiles={"mad": 0.5},
+        relative_accuracy=relative_accuracy,
+        round_to=round_to,
+    )
+    return mad.select(
+        *groups,
+        F.col("__med").alias("median"),
+        F.col("qvalue").alias("mad"),
+    )

@@ -555,3 +555,37 @@ def test_sketch_winsorize_clamps_and_reuses_bounds(spark):
     assert "Exchange" not in plan
     with pytest.raises(ValueError):
         sketch_winsorize(df, "v", lower_q=0.9, upper_q=0.1)
+
+
+def test_sketch_robust_stats_accuracy_and_gate_precondition(spark):
+    import numpy as np
+
+    from ddsketch_ruby_spark.operators.quantiles import (
+        ddsketch_quantiles_long,
+        sketch_robust_stats,
+    )
+
+    rng = np.random.default_rng(21)
+    vals = rng.lognormal(1.0, 0.7, 6000)
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double").repartition(6)
+    r = sketch_robust_stats(df, "v").collect()[0]
+    med_exact = float(np.median(vals))
+    mad_exact = float(np.median(np.abs(vals - med_exact)))
+    assert abs(r["median"] - med_exact) / med_exact < 0.03
+    assert abs(r["mad"] - mad_exact) / mad_exact < 0.05
+    # gate precondition (robust_stats_events): no event value collides
+    # exactly with its group's rounded median — if the driver testdata
+    # ever changes to violate this, fail HERE, not as a flaky gate
+    for sf in ("0.001", "0.01"):
+        ev = spark.read.parquet(f"/root/testdata/sf{sf}/events.parquet").filter(
+            F.col("value") > 0
+        )
+        med = ddsketch_quantiles_long(
+            ev, "value", ["event_type"], quantiles={"med": 0.5}
+        ).select("event_type", F.col("qvalue").alias("med"))
+        z = (
+            ev.join(med, "event_type")
+            .filter(F.abs(F.col("value") - F.col("med")) == 0.0)
+            .count()
+        )
+        assert z == 0, f"sf{sf}: {z} exact-median collisions"
