@@ -1210,6 +1210,8 @@ def word_ngrams(text_col: str | F.Column, n: int) -> F.Column:
     yields a DESCENDING array when the doc is shorter than n; the
     (element, index) filter form is the documented two-parameter lambda,
     not a captured-default closure — see CLAUDE.md's F.filter note)."""
+    if n < 1:
+        raise ValueError(f"n-gram width must be >= 1, got {n}")
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     words = F.filter(F.split(col, " "), lambda w: w != F.lit(""))
     grams_all = F.transform(

@@ -1021,3 +1021,14 @@ def test_repetition_ratio(spark):
     assert r[1] == pytest.approx(1.0 - 2 / 5)
     assert r[2] == 0.0
     assert r[3] == 0.0 and r[4] == 0.0
+
+
+def test_word_ngrams_rejects_nonpositive_width(spark):
+    from ddsketch_ruby_spark.operators.dedup import word_ngrams
+
+    with pytest.raises(ValueError, match="width"):
+        word_ngrams("text", 0)
+    # n=1 degenerates to the word list itself
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    got = df.select(word_ngrams("text", 1).alias("g")).collect()[0]["g"]
+    assert got == ["a", "b", "c"]
