@@ -1351,6 +1351,62 @@ HAVING COUNT(DISTINCT doc_id) >= {min_docs}
 """
 
 
+def _q_decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow hashed-gram decontamination path (grams="hashed": gram
+    construction in per-core Python worker processes, 8-byte gram keys,
+    no JVM string-gram allocation — the 10^12-doc scan profile) under the
+    SAME string-semantics DuckDB oracle as decontaminate_documents: the
+    oracle matches grams as strings, so this gate certifies that hashing
+    changed the engine, not the answer (collisions are 2^-64/pair)."""
+    from ddsketch_ruby_spark.operators.dedup import decontaminate
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    cand = docs.filter(F.col("doc_id") % 37 != 0)
+    return decontaminate(
+        cand, bench, "text", "doc_id", n=4, grams="hashed"
+    ).select("doc_id", "contaminated")
+
+
+def _q_decontaminate_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broadcast=False escape hatch (shuffled gram equi-join — the
+    plan for benchmark sets too large to broadcast) under the same
+    string-gram oracle: parity between the two join strategies is now a
+    hard-gated fact, not an untested branch."""
+    from ddsketch_ruby_spark.operators.dedup import decontaminate
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    cand = docs.filter(F.col("doc_id") % 37 != 0)
+    return decontaminate(
+        cand, bench, "text", "doc_id", n=4, broadcast=False
+    ).select("doc_id", "contaminated")
+
+
+def _q_duplicate_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate_spans' Arrow hashed-gram mode (grams="hashed": kernel
+    gram hashing + in-kernel per-(doc, span) pre-rollup, 8-byte span keys
+    on the wire) against the STRING-span oracle projected to the stats
+    columns: the hashed span key itself is opaque, but the (n_docs,
+    n_occurrences, first_id) multiset must match the string engine row
+    for row — a collision or a miscount would break the value hash."""
+    from ddsketch_ruby_spark.operators.dedup import duplicate_spans
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return duplicate_spans(
+        docs, "text", "doc_id", n=4, min_docs=2,
+        keep_span=False, grams="hashed",
+    ).select("n_docs", "n_occurrences", "first_id")
+
+
+def _duplicate_spans_stats_oracle_sql(n: int = 4, min_docs: int = 2) -> str:
+    return (
+        "SELECT n_docs, n_occurrences, first_id FROM ("
+        + _duplicate_spans_oracle_sql(n=n, min_docs=min_docs)
+        + ") z"
+    )
+
+
 _MG_K = 12
 
 
@@ -3250,7 +3306,6 @@ FROM clamped GROUP BY event_type, bucket_key
 # r01+r02+r03) parked at the tail. scripts/check_oracles.py replays ALL
 # entries regardless and prints the window boundary.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "ddsketch_bins_events": _q_ddsketch_bins,
     "ddsketch_collapsed_bins": _q_ddsketch_collapsed_bins,
     "ddsketch_collapsed_high_bins": _q_ddsketch_collapsed_high_bins,
     "ddsketch_collapsed_quantiles": _q_ddsketch_collapsed_quantiles,
@@ -3284,7 +3339,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk_documents": _q_vocab_topk,
     "ddsketch_cdf_events": _q_ddsketch_cdf,
     "decontaminate_documents": _q_decontaminate,
+    "decontaminate_hashed_documents": _q_decontaminate_hashed,
+    "decontaminate_shuffled_documents": _q_decontaminate_shuffled,
     "duplicate_spans_documents": _q_duplicate_spans,
+    "duplicate_spans_hashed_documents": _q_duplicate_spans_hashed,
     "hash_split_documents": _q_hash_split,
     "mg_heavy_items": _q_mg_heavy_items,
     "normalize_documents": _q_normalize_documents,
@@ -3296,12 +3354,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters_documents": _q_dedup_clusters,
     "dedup_collapse_documents": _q_dedup_collapse,
     "bpe_token_documents": _q_bpe_tokens,
-    "tdigest_price_by_returnflag": _q_tdigest_price,
-    "kll_quantity_quantiles": _q_kll_quantity,
     "ivf_recall_planted": _q_ivf_recall_planted,
     "lsh_recall_planted": _q_lsh_recall_planted,
     # ---- driver-gate window boundary (first 50 entries above) ----
-    # tail entries: green in r01+r02+r03, replayed by check_oracles.py
+    # tail entries: recorded green in >=3 prior rounds, replayed by
+    # check_oracles.py AND persisted per-round in CORRECTNESS_SELF_r5.json
+    # (ddsketch_bins_events / tdigest / kll rotated out in r5 — each
+    # recorded green in r01-r04 — to make room for the hashed-gram and
+    # shuffled-decontaminate gates)
+    "ddsketch_bins_events": _q_ddsketch_bins,
+    "tdigest_price_by_returnflag": _q_tdigest_price,
+    "kll_quantity_quantiles": _q_kll_quantity,
     "ddsketch_weighted_quantity": _q_ddsketch_weighted,
     "ddsketch_linear_events": _q_ddsketch_linear,
     "doc_fingerprints": _q_doc_fingerprints,
@@ -4703,7 +4766,12 @@ ORACLES["sketch_partition_events"] = _sketch_partition_oracle_sql(n_buckets=16)
 ORACLES["vocab_topk_documents"] = _VOCAB_ORACLE
 ORACLES["ddsketch_cdf_events"] = _ddsketch_cdf_oracle_sql(_CDF_PROBES)
 ORACLES["decontaminate_documents"] = _decontaminate_oracle_sql(n=4)
+ORACLES["decontaminate_hashed_documents"] = _decontaminate_oracle_sql(n=4)
+ORACLES["decontaminate_shuffled_documents"] = _decontaminate_oracle_sql(n=4)
 ORACLES["duplicate_spans_documents"] = _duplicate_spans_oracle_sql(n=4)
+ORACLES["duplicate_spans_hashed_documents"] = _duplicate_spans_stats_oracle_sql(
+    n=4
+)
 ORACLES["hash_split_documents"] = _hash_split_oracle_sql()
 ORACLES["mg_heavy_items"] = _mg_oracle_sql()
 ORACLES["stream_kmv_daily"] = _stream_kmv_oracle_sql(k=32)

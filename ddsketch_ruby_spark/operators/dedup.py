@@ -205,6 +205,191 @@ def _batch_distinct_per_doc(
     return hs, ds
 
 
+# FNV-64 prime: odd, so invertible mod 2^64 — the prefix-product word
+# hash below divides by p^start via multiplication with this inverse.
+_GRAM_P = np.uint64(1099511628211)
+_GRAM_P_INV = np.uint64(pow(1099511628211, -1, 1 << 64))
+_GRAM_CHUNK_BYTES = 1 << 22  # flat bytes per kernel pass; see _oph_batch
+
+
+def _finalize64(h: np.ndarray) -> np.ndarray:
+    """Murmur-style avalanche, in place — same mix as _shingle_hashes."""
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def _batch_word_gram_hashes(
+    texts: pd.Series | list, n: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """64-bit hashes of every word ``n``-gram of every doc in the batch,
+    fully vectorized — the Arrow twin of word_ngrams (words = nonempty
+    0x20-separated tokens, exactly F.split(col, " ") + filter semantics;
+    0x20 never occurs inside a UTF-8 multibyte sequence, so byte-level
+    splitting is codepoint-safe). Returns (gh, doc_of, n_docs) with grams
+    emitted in document order.
+
+    Two-level rolling hash, all O(total bytes + total words):
+      1. word hash = murmur-finalized polynomial over the word's bytes,
+         computed for ALL words at once from ONE prefix pass: with
+         G = cumsum(byte[i] * p^i) over the flat buffer, the segment sum
+         (G[end] - G[start-1]) * p^-start localizes each word's polynomial
+         (p is the odd FNV prime, so p^-1 exists mod 2^64).
+      2. gram hash = murmur-finalized polynomial over the n word hashes,
+         via n strided gathers (the _batch_window_hashes shape) with
+         windows crossing document boundaries excluded by construction.
+
+    Docs are processed in ~4 MB flat-byte chunks so the prefix arrays stay
+    cache-resident instead of streaming from RAM (the _oph_batch memory-
+    bandwidth lesson). Equal grams hash equal across batches/chunks;
+    distinct grams collide at the usual 2^-64/pair rate (same ledger as
+    hashed exact dedup, SCALE.md)."""
+    if n < 1:
+        raise ValueError(f"n-gram width must be >= 1, got {n}")
+    encoded = [(t or "").encode("utf-8", "ignore") for t in texts]
+    ndocs = len(encoded)
+    out_h: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    coef = np.power(_GRAM_P, np.arange(n, dtype=np.uint64), dtype=np.uint64)
+    i = 0
+    while i < ndocs:
+        j, size = i, 0
+        while j < ndocs and (j == i or size + len(encoded[j]) + 1 <= _GRAM_CHUNK_BYTES):
+            size += len(encoded[j]) + 1
+            j += 1
+        chunk = encoded[i:j]
+        # one trailing space per doc: words never span docs, and the last
+        # word of the chunk is terminated
+        flat = np.frombuffer(b" ".join(chunk) + b" ", dtype=np.uint8)
+        clens = np.fromiter((len(c) for c in chunk), np.int64, len(chunk))
+        dstarts = np.concatenate([[0], np.cumsum(clens[:-1] + 1)])
+        is_sp = flat == 32
+        wstart = np.flatnonzero(
+            ~is_sp & np.concatenate([[True], is_sp[:-1]])
+        )
+        wend = np.flatnonzero(~is_sp & np.concatenate([is_sp[1:], [True]]))
+        if len(wstart):
+            doc_of_word = np.searchsorted(dstarts, wstart, side="right") - 1
+            total = len(flat)
+            with np.errstate(over="ignore"):
+                pw = np.empty(total, dtype=np.uint64)
+                pw[0] = 1
+                np.cumprod(
+                    np.full(total - 1, _GRAM_P, dtype=np.uint64), out=pw[1:]
+                )
+                piw = np.empty(total, dtype=np.uint64)
+                piw[0] = 1
+                np.cumprod(
+                    np.full(total - 1, _GRAM_P_INV, dtype=np.uint64),
+                    out=piw[1:],
+                )
+                G = np.cumsum(flat.astype(np.uint64) * pw)
+                before = np.where(
+                    wstart > 0, G[wstart - 1], np.uint64(0)
+                )
+                wh = _finalize64((G[wend] - before) * piw[wstart])
+                wcounts = np.bincount(doc_of_word, minlength=len(chunk))
+                nwin = np.maximum(wcounts - n + 1, 0)
+                tot_w = int(nwin.sum())
+                if tot_w:
+                    seg_of = np.repeat(
+                        np.arange(len(chunk), dtype=np.int64), nwin
+                    )
+                    word_starts = np.concatenate(
+                        [[0], np.cumsum(wcounts[:-1])]
+                    )
+                    cum_nwin = np.concatenate([[0], np.cumsum(nwin[:-1])])
+                    gidx = (
+                        np.repeat(word_starts, nwin)
+                        + np.arange(tot_w, dtype=np.int64)
+                        - np.repeat(cum_nwin, nwin)
+                    )
+                    gh = np.zeros(tot_w, dtype=np.uint64)
+                    for k in range(n):
+                        gh += wh[gidx + k] * coef[k]
+                    out_h.append(_finalize64(gh))
+                    out_d.append(seg_of + i)
+        i = j
+    if out_h:
+        return np.concatenate(out_h), np.concatenate(out_d), ndocs
+    return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64), ndocs
+
+
+def _batch_distinct_counts_per_doc(
+    hv: np.ndarray, doc_of: np.ndarray, ndocs: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(hash, doc, count) distinct rows from doc-grouped window hashes —
+    the with-occurrence-counts twin of _batch_distinct_per_doc, on the
+    same per-doc cache-resident np.unique slices (the global-lexsort
+    alternative is measured ~15x slower; see BENCH/kernel_vectorization)."""
+    if len(hv) == 0:
+        return hv, doc_of, np.zeros(0, dtype=np.int64)
+    cnt = np.bincount(doc_of, minlength=ndocs)
+    bounds = np.concatenate([[0], np.cumsum(cnt)])
+    hs_l, cs_l = [], []
+    for i in range(ndocs):
+        u, c = np.unique(hv[bounds[i] : bounds[i + 1]], return_counts=True)
+        hs_l.append(u)
+        cs_l.append(c)
+    hs = np.concatenate(hs_l)
+    ds = np.repeat(
+        np.arange(ndocs, dtype=np.int64),
+        np.fromiter((len(o) for o in hs_l), np.int64, ndocs),
+    )
+    return hs, ds, np.concatenate(cs_l).astype(np.int64)
+
+
+def _hashed_gram_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str | None,
+    n: int,
+    with_counts: bool = False,
+) -> DataFrame:
+    """Distinct (id, __ng[, __occ]) word-gram HASH rows per document via
+    the Arrow kernel — grams leave Python as 8-byte longs, never strings.
+    ``id_col=None`` emits batch-distinct ``__ng`` only (the benchmark side
+    of decontaminate; callers .distinct() the union)."""
+    fields: list[T.StructField] = []
+    if id_col is not None:
+        fields.append(next(f for f in df.schema.fields if f.name == id_col))
+    fields.append(T.StructField("__ng", T.LongType(), False))
+    if with_counts:
+        fields.append(T.StructField("__occ", T.LongType(), False))
+    schema = T.StructType(fields)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            gh, doc_of, ndocs = _batch_word_gram_hashes(pdf[text_col], n)
+            if id_col is None:
+                yield pd.DataFrame({"__ng": np.unique(gh).view(np.int64)})
+            elif with_counts:
+                hs, ds, cs = _batch_distinct_counts_per_doc(
+                    gh, doc_of, ndocs
+                )
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values[ds],
+                        "__ng": hs.view(np.int64),
+                        "__occ": cs,
+                    }
+                )
+            else:
+                hs, ds = _batch_distinct_per_doc(gh, doc_of)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values[ds],
+                        "__ng": hs.view(np.int64),
+                    }
+                )
+
+    cols = [text_col] if id_col is None else [id_col, text_col]
+    return df.select(*cols).mapInPandas(compute, schema)
+
+
 _OPH_CHUNK = 1 << 21  # windows per chunk; see _oph_batch docstring
 
 
@@ -1239,6 +1424,7 @@ def decontaminate(
     n: int = 13,
     broadcast: bool = True,
     flag_col: str = "contaminated",
+    grams: str = "string",
 ) -> DataFrame:
     """Benchmark decontamination for training corpora: flag every document
     of ``df`` that shares at least one word ``n``-gram with any document
@@ -1248,33 +1434,52 @@ def decontaminate(
     31-word-vocabulary corpus so both outcomes occur).
 
     Returns ``df`` plus a boolean ``flag_col``; filter ``NOT flag_col``
-    to drop contaminated rows. Exact by construction — grams are matched
-    as STRINGS, not hashes, so there are no false positives to document
-    away.
+    to drop contaminated rows.
+
+    ``grams="string"`` (the oracle mode) matches grams as STRINGS built
+    by JVM array expressions — exact by construction, but per-gram string
+    allocation contends on the shared JVM heap's GC bandwidth: measured
+    2->8-core efficiency 0.43 on one local JVM
+    (BENCH/text_scaling_latest.md). ``grams="hashed"`` routes gram
+    construction through the Arrow rolling-hash kernels
+    (_batch_word_gram_hashes): grams leave Python as 8-byte longs, the
+    hashing runs in per-core Python worker PROCESSES with no shared heap,
+    and both the broadcast set and the semi-join keys shrink to 8 B/gram
+    — the 10^12-doc path. Exactness degrades only by the 2^-64/pair
+    collision rate (same ledger as exact_dedup's hashed mode, SCALE.md);
+    string-vs-hashed parity is pytest-pinned and the hashed mode sits
+    under its own driver gate against the string-gram DuckDB oracle.
 
     Scale shape (10^12 candidate docs): benchmarks are eval sets — tiny
     next to the corpus — so the distinct benchmark-gram set broadcasts
-    (default) and the whole operator is ONE corpus scan: ngrams are JVM
-    array expressions, the semi-join is a broadcast hash join on the
-    exploded gram rows, and the flag rejoins on ``id_col`` (a thin
-    shuffle of ids only — document text never shuffles). For a benchmark
-    too large to broadcast, ``broadcast=False`` plans a shuffled
-    equi-join on the gram strings instead; if even that shuffle is too
-    wide, pre-hash both sides to 8-byte keys upstream (exactness then
-    degrades by the 2^-64/pair collision rate — at that point you are
-    trading the same coin as exact_dedup's hashed mode, SCALE.md)."""
-    bench_grams = (
-        benchmark.select(
-            F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("__ng")
+    (default) and the whole operator is ONE corpus scan: the semi-join is
+    a broadcast hash join on the exploded gram rows, and the flag rejoins
+    on ``id_col`` (a thin shuffle of ids only — document text never
+    shuffles). For a benchmark too large to broadcast, ``broadcast=False``
+    plans a shuffled equi-join on the grams instead (driver-gated for
+    parity with the broadcast plan)."""
+    if grams == "hashed":
+        bench_grams = _hashed_gram_rows(benchmark, text_col, None, n).distinct()
+        doc_grams = _hashed_gram_rows(df, text_col, id_col, n)
+    elif grams == "string":
+        bench_grams = (
+            benchmark.select(
+                F.explode(
+                    F.array_distinct(word_ngrams(text_col, n))
+                ).alias("__ng")
+            )
+            .distinct()
         )
-        .distinct()
-    )
+        doc_grams = df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_ngrams(text_col, n))
+            ).alias("__ng"),
+        )
+    else:
+        raise ValueError(f"grams must be 'string' or 'hashed', got {grams!r}")
     if broadcast:
         bench_grams = F.broadcast(bench_grams)
-    doc_grams = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("__ng"),
-    )
     hit_ids = (
         doc_grams.join(bench_grams, "__ng", "left_semi")
         .select(id_col)
@@ -1293,6 +1498,7 @@ def duplicate_spans(
     n: int = 13,
     min_docs: int = 2,
     keep_span: bool = True,
+    grams: str = "string",
 ) -> DataFrame:
     """Repeated-span detection: every word ``n``-gram that occurs in at
     least ``min_docs`` distinct documents, with its document count, total
@@ -1311,14 +1517,36 @@ def duplicate_spans(
     plain count/sum/min rollup. No distinct-count expansion, no join.
     With ``keep_span=False`` the span string is replaced by its xxhash64
     (spans become 8-byte shuffle keys — the 100 TB path; collision rate
-    2^-64 per span pair), trading the readable span text away."""
-    span: F.Column = F.explode(word_ngrams(text_col, n)).alias("span")
-    grams = df.select(F.col(id_col), span)
-    if not keep_span:
-        grams = grams.select(id_col, F.xxhash64("span").alias("span"))
-    per_doc = grams.groupBy("span", id_col).agg(
-        F.count(F.lit(1)).alias("__occ")
-    )
+    2^-64 per span pair), trading the readable span text away.
+
+    ``grams="hashed"`` goes further: gram construction itself runs in the
+    Arrow rolling-hash kernels (per-core Python worker processes — no
+    shared-JVM-heap gram allocation, the measured 0.43 GC-bandwidth
+    ceiling of the string mode), the per-(doc, span) pre-rollup happens
+    inside the kernel batch, and only 8-byte FNV-murmur hashes (NOT
+    xxhash64 — span keys are opaque either way) ever reach the JVM.
+    Implies hashed span keys, so it requires ``keep_span=False``; parity
+    with the string mode is pytest-pinned and driver-gated."""
+    if grams == "hashed":
+        if keep_span:
+            raise ValueError(
+                "grams='hashed' cannot keep span text; pass keep_span=False"
+            )
+        per_doc = _hashed_gram_rows(
+            df, text_col, id_col, n, with_counts=True
+        ).select(F.col("__ng").alias("span"), F.col(id_col), F.col("__occ"))
+    elif grams == "string":
+        span: F.Column = F.explode(word_ngrams(text_col, n)).alias("span")
+        gram_rows = df.select(F.col(id_col), span)
+        if not keep_span:
+            gram_rows = gram_rows.select(
+                id_col, F.xxhash64("span").alias("span")
+            )
+        per_doc = gram_rows.groupBy("span", id_col).agg(
+            F.count(F.lit(1)).alias("__occ")
+        )
+    else:
+        raise ValueError(f"grams must be 'string' or 'hashed', got {grams!r}")
     return (
         per_doc.groupBy("span")
         .agg(

@@ -1,0 +1,161 @@
+"""Parity pins for the Arrow hashed-gram mode (grams="hashed") of
+decontaminate / duplicate_spans: the string-gram plan stays the semantic
+oracle; the hashed plan must produce identical flags/stats (collisions at
+2^-64/pair are out of reach of any test corpus). Also pins the kernel
+itself: _batch_word_gram_hashes must tokenize exactly like
+F.split(col, " ") + filter-nonempty (single-SPACE separator — tabs and
+newlines stay inside words), emit grams in document order, hash equal
+grams equal across batches and chunk boundaries, and stay injective on a
+realistic gram sample."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import ddsketch_ruby_spark.operators.dedup as dd
+from ddsketch_ruby_spark.operators.dedup import (
+    _batch_distinct_counts_per_doc,
+    _batch_word_gram_hashes,
+    decontaminate,
+    duplicate_spans,
+)
+
+TRICKY_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "  the   quick brown fox "),  # leading/multi/trailing spaces
+    (3, ""),  # empty doc
+    (4, "one two"),  # shorter than any tested n
+    (5, "tab\tseparated stays one-word token here really"),
+    (6, "unicode héllo wörld grams are fine too yes"),
+    (7, "a b c a b c a b c"),  # within-doc repeats
+    (8, "the quick brown fox appears here too now"),
+]
+
+
+def _str_grams(text: str, n: int) -> list[str]:
+    ws = [w for w in text.split(" ") if w]
+    return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+
+def test_kernel_matches_string_gram_semantics():
+    texts = [t for _, t in TRICKY_DOCS]
+    for n in (1, 3, 4):
+        gh, doc_of, nd = _batch_word_gram_hashes(texts, n)
+        assert nd == len(texts)
+        counts = np.bincount(doc_of, minlength=nd).tolist()
+        assert counts == [len(_str_grams(t, n)) for t in texts]
+        # equal string grams <-> equal hashes, in document order
+        seen: dict[str, int] = {}
+        for di, t in enumerate(texts):
+            for g, h in zip(_str_grams(t, n), gh[doc_of == di]):
+                assert seen.setdefault(g, int(h)) == int(h)
+        # injective on the sample (a collision here would be a 2^-64 event)
+        assert len(set(seen.values())) == len(seen)
+
+
+def test_kernel_chunk_and_batch_invariance(monkeypatch):
+    texts = [t for _, t in TRICKY_DOCS] * 3
+    gh, doc_of, _ = _batch_word_gram_hashes(texts, 3)
+    monkeypatch.setattr(dd, "_GRAM_CHUNK_BYTES", 16)
+    gh2, doc_of2, _ = _batch_word_gram_hashes(texts, 3)
+    assert np.array_equal(gh, gh2) and np.array_equal(doc_of, doc_of2)
+
+
+def test_kernel_edge_inputs():
+    for texts in ([], ["", "   ", None], ["a b"],):
+        gh, doc_of, nd = _batch_word_gram_hashes(texts, 3)
+        assert nd == len(texts) and len(gh) == 0 and len(doc_of) == 0
+    with pytest.raises(ValueError):
+        _batch_word_gram_hashes(["a b c"], 0)
+
+
+def test_distinct_counts_per_doc():
+    gh, doc_of, nd = _batch_word_gram_hashes(
+        ["a b c a b c a b c", "", "x y z"], 3
+    )
+    hs, ds, cs = _batch_distinct_counts_per_doc(gh, doc_of, nd)
+    # doc 0: grams {a b c: 3, b c a: 2, c a b: 2}; doc 1 empty; doc 2 one
+    assert sorted(cs[ds == 0].tolist()) == [2, 2, 3]
+    assert (ds == 1).sum() == 0
+    assert cs[ds == 2].tolist() == [1]
+    # hashes are distinct within a doc (unique semantics)
+    assert len(np.unique(hs[ds == 0])) == 3
+
+
+def test_decontaminate_hashed_parity(spark):
+    docs = spark.createDataFrame(
+        TRICKY_DOCS, "doc_id long, text string"
+    ).repartition(5)
+    bench = spark.createDataFrame(
+        [(100, "witnesses said the quick brown fox jumps at dawn")],
+        "doc_id long, text string",
+    )
+    for n in (3, 4):
+        want = {
+            r["doc_id"]: r["contaminated"]
+            for r in decontaminate(docs, bench, "text", "doc_id", n=n).collect()
+        }
+        for broadcast in (True, False):
+            got = {
+                r["doc_id"]: r["contaminated"]
+                for r in decontaminate(
+                    docs, bench, "text", "doc_id", n=n,
+                    broadcast=broadcast, grams="hashed",
+                ).collect()
+            }
+            assert got == want, (n, broadcast)
+    # sanity: the parity corpus exercises both outcomes
+    assert set(want.values()) == {True, False}
+    with pytest.raises(ValueError):
+        decontaminate(docs, bench, "text", "doc_id", grams="sketchy")
+
+
+def test_duplicate_spans_hashed_parity(spark):
+    docs = spark.createDataFrame(
+        TRICKY_DOCS + [(9, "x y z w u x y z w v"), (10, "q r x y z w k")],
+        "doc_id long, text string",
+    ).repartition(3)
+    n = 3
+    string_rows = duplicate_spans(
+        docs, "text", "doc_id", n=n, min_docs=2
+    ).collect()
+    hashed_rows = duplicate_spans(
+        docs, "text", "doc_id", n=n, min_docs=2,
+        keep_span=False, grams="hashed",
+    ).collect()
+    # map every string span to its kernel hash (a span has exactly n words
+    # -> exactly one gram) and demand EXACT table equality, not just a
+    # stats multiset match
+    spans = [r["span"] for r in string_rows]
+    gh, doc_of, _ = _batch_word_gram_hashes(spans, n)
+    assert len(gh) == len(spans)
+    want = {
+        int(np.int64(np.uint64(h))): (r["n_docs"], r["n_occurrences"], r["first_id"])
+        for h, r in zip(gh, string_rows)
+    }
+    got = {
+        r["span"]: (r["n_docs"], r["n_occurrences"], r["first_id"])
+        for r in hashed_rows
+    }
+    assert got == want and len(want) == len(string_rows)
+    with pytest.raises(ValueError):
+        duplicate_spans(docs, "text", "doc_id", grams="hashed")  # keep_span=True
+    with pytest.raises(ValueError):
+        duplicate_spans(docs, "text", "doc_id", grams="sketchy")
+
+
+def test_hashed_gram_rows_plan_is_thin(spark):
+    # the corpus side must scan only (id, text) and emit 8-byte gram keys;
+    # the flag rejoin shuffles ids only — document text never shuffles
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(999, "w10 w11 w12 w13 w14 w15")], "doc_id long, text string"
+    )
+    out = decontaminate(docs, bench, "text", "doc_id", n=4, grams="hashed")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    flags = {r["doc_id"]: r["contaminated"] for r in out.collect()}
+    assert {d for d, f in flags.items() if f} == {9, 10, 11, 12}
