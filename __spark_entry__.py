@@ -2084,6 +2084,83 @@ def _q_lsh_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planted_recall(spark, emb, topk)
 
 
+def _q_ivfpq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-recall gate through the TRAINED IVF-PQ path — the
+    production pipeline (ivf_train coarse centroids, pq_train per-subspace
+    k-means codebooks, fused Arrow encode, exhaustive-nprobe ADC top-5),
+    not the seeded plan-time constants the value-hash gates pin. The
+    planted construction: every vec_id % 97 == 0 vector doubles as a
+    query; its own ADC distance is just its residual quantization error
+    (measured ~0.6 at sf0.01) while the nearest impostor's is its true
+    distance (~1.1 — no corpus pair exceeds cosine 0.51), so the planted
+    vector ranks FIRST with an ~80% margin for any training sample /
+    partitioning — which DuckDB asserts without re-running the ANN (the
+    same guarantee discipline as ivf_recall_planted)."""
+    from ddsketch_ruby_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_train,
+    )
+    from ddsketch_ruby_spark.operators.similarity import ivf_train
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, "embedding", n_cells=8, seed=42)
+    books = pq_train(emb, "embedding", dim=64, m=8, codebook_size=16, seed=42)
+    enc = ivfpq_encode(emb, "embedding", cents, books, keep=["vec_id"])
+    qrows = (
+        emb.filter(F.col("vec_id") % 97 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    parts = [
+        ivfpq_topk(
+            enc, cents, books, "vec_id",
+            [float(x) for x in r["embedding"]], k=5, nprobe=8,
+        ).select(F.lit(int(r["vec_id"])).alias("query_id"), "vec_id")
+        for r in qrows
+    ]
+    if not parts:
+        return spark.createDataFrame([], "query_id long, found boolean")
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    hit = F.col("vec_id") == F.col("query_id")
+    return un.groupBy("query_id").agg(
+        (F.max(hit.cast("int")) == 1).alias("found")
+    )
+
+
+def _q_ann_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-recall gate through the one-call reranked ANN composition
+    (operators/pq.py ann_topk): trained IVF-PQ candidate generation
+    (nprobe=4 of 8 cells — genuinely truncated, candidates=50) followed by
+    the exact cosine rerank over the survivors' ORIGINAL vectors. The
+    planted vector lands in its own cell (identical argmin), survives the
+    50-candidate ADC cut with the ~80% quantization-error margin, and the
+    exact rerank then MUST surface it at cosine 1.0 — so `found` uses the
+    strict sim == 1.0 criterion of the other _planted_recall gates, which
+    plain ADC output cannot offer."""
+    from ddsketch_ruby_spark.operators.pq import (
+        ann_topk,
+        ivfpq_encode,
+        pq_train,
+    )
+    from ddsketch_ruby_spark.operators.similarity import ivf_train
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, "embedding", n_cells=8, seed=42)
+    books = pq_train(emb, "embedding", dim=64, m=8, codebook_size=16, seed=42)
+    enc = ivfpq_encode(emb, "embedding", cents, books, keep=["vec_id"])
+
+    def topk(query_vec):
+        return ann_topk(
+            emb, "embedding", "vec_id", query_vec, k=5, candidates=50,
+            nprobe=4, encoded=enc, centroids=cents, codebooks=books,
+        )
+
+    return _planted_recall(spark, emb, topk)
+
+
 def _q_lsh_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BATCH ANN under the hard gate: every 97th embedding becomes a query
     row and lsh_ann_join answers all of them in ONE distributed job
@@ -3307,8 +3384,8 @@ FROM clamped GROUP BY event_type, bucket_key
 # entries regardless and prints the window boundary.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_collapsed_bins": _q_ddsketch_collapsed_bins,
-    "ddsketch_collapsed_high_bins": _q_ddsketch_collapsed_high_bins,
-    "ddsketch_collapsed_quantiles": _q_ddsketch_collapsed_quantiles,
+    "ivfpq_trained_recall": _q_ivfpq_trained_recall,
+    "ann_rerank_recall": _q_ann_rerank_recall,
     "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
     "proto_roundtrip_bins": _q_proto_roundtrip_bins,
     "cms_heavy_parts": _q_cms_heavy_parts,
@@ -3359,10 +3436,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver-gate window boundary (first 50 entries above) ----
     # tail entries: recorded green in >=3 prior rounds, replayed by
     # check_oracles.py AND persisted per-round in CORRECTNESS_SELF_r5.json
-    # (ddsketch_bins_events / tdigest / kll rotated out in r5 — each
-    # recorded green in r01-r04 — to make room for the hashed-gram and
-    # shuffled-decontaminate gates)
+    # (ddsketch_bins_events / tdigest / kll — green r01-r04 — and the
+    # collapsed high-bins/quantiles pair — green r02-r04 — rotated out in
+    # r5 to make room for the hashed-gram, shuffled-decontaminate,
+    # trained-IVF-PQ, and reranked-ANN gates)
     "ddsketch_bins_events": _q_ddsketch_bins,
+    "ddsketch_collapsed_high_bins": _q_ddsketch_collapsed_high_bins,
+    "ddsketch_collapsed_quantiles": _q_ddsketch_collapsed_quantiles,
     "tdigest_price_by_returnflag": _q_tdigest_price,
     "kll_quantity_quantiles": _q_kll_quantity,
     "ddsketch_weighted_quantity": _q_ddsketch_weighted,
@@ -4726,6 +4806,18 @@ SELECT vec_id AS query_id, TRUE AS found
 FROM embeddings WHERE vec_id % 97 = 0
 """,
         "lsh_recall_planted_indexed": """
+SELECT vec_id AS query_id, TRUE AS found
+FROM embeddings WHERE vec_id % 97 = 0
+""",
+        # trained-path IVF-PQ + reranked-ANN planted guarantees: the
+        # planted vector's ADC distance is its quantization error (~0.6)
+        # vs the nearest impostor's true distance (~1.1) — see the query
+        # docstrings for the margin argument
+        "ivfpq_trained_recall": """
+SELECT vec_id AS query_id, TRUE AS found
+FROM embeddings WHERE vec_id % 97 = 0
+""",
+        "ann_rerank_recall": """
 SELECT vec_id AS query_id, TRUE AS found
 FROM embeddings WHERE vec_id % 97 = 0
 """,

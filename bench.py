@@ -15,9 +15,40 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _box_noise() -> dict:
+    """Pre-flight box-noise reading, sampled BEFORE the JVM starts: 1-min
+    load average plus /proc/stat CPU busy fraction over a 1 s window. A
+    41% round-over-round swing in the driver artifact was adjudicated as
+    pure box noise in round 4 — these fields make that call attributable
+    from the JSON line itself instead of costing a verdict cycle.
+    ``box_loud`` is an annotation, not a refusal: the driver contract
+    requires the JSON line unconditionally."""
+    try:
+        load1 = os.getloadavg()[0]
+
+        def snap():
+            with open("/proc/stat") as f:
+                vals = [int(x) for x in f.readline().split()[1:]]
+            return vals[3] + vals[4], sum(vals)  # idle+iowait, total
+
+        i0, t0 = snap()
+        time.sleep(1.0)
+        i1, t1 = snap()
+        busy = 1.0 - (i1 - i0) / max(t1 - t0, 1)
+        ncpu = os.cpu_count() or 1
+        return {
+            "loadavg_1m": round(load1, 2),
+            "cpu_busy_frac": round(busy, 3),
+            "box_loud": bool(busy > 0.20 or load1 > 0.25 * ncpu),
+        }
+    except OSError:  # non-procfs platform: report nothing, never fail
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    noise = _box_noise()
 
     from pyspark.sql import functions as F
 
@@ -134,6 +165,7 @@ def main() -> None:
                 "rows_processed": n_rows,
                 "rows_per_sec": round(n_rows / total, 1) if total else None,
                 "cpus": int(cpus),
+                **noise,
             }
         )
     )

@@ -1,13 +1,15 @@
 """Scaling-efficiency evidence for the corpus-hygiene scan family:
-benchmark decontamination (operators/dedup.py decontaminate — JVM
-array-expression n-grams, broadcast gram semi-join, id-only rejoin) over
-the deterministic web_pages table at two parallelism levels. Same
-methodology as scripts/scaling_bench.py / pq_scaling_bench.py
+benchmark decontamination (operators/dedup.py decontaminate) over the
+deterministic web_pages table at two parallelism levels, for BOTH gram
+engines — grams="string" (JVM array expressions; per-gram allocation on
+the one shared local-JVM heap) and grams="hashed" (the Arrow rolling-hash
+kernels; grams leave per-core Python worker PROCESSES as 8-byte longs).
+Same methodology as scripts/scaling_bench.py / pq_scaling_bench.py
 (interleaved levels, best-of per level, clean JVM per run, 2->8 cores).
 
 Usage:
-  python scripts/text_scaling_bench.py          # generate + both runs + report
-  python scripts/text_scaling_bench.py --run 8  # child: one timed run
+  python scripts/text_scaling_bench.py                 # both modes + report
+  python scripts/text_scaling_bench.py --run 8 hashed  # child: one timed run
 """
 
 from __future__ import annotations
@@ -30,17 +32,18 @@ CORES = tuple(
     int(c) for c in os.environ.get("TEXT_SCALING_CORES", "2,8").split(",")
 )
 NGRAM = int(os.environ.get("TEXT_SCALING_N", "4"))
+MODES = os.environ.get("TEXT_SCALING_GRAMS", "string,hashed").split(",")
 BENCH_DATA = DATA.replace("web_pages_", "web_bench_")
 
 
-def run_child(cores: int) -> None:
+def run_child(cores: int, grams: str) -> None:
     from pyspark.sql import functions as F
 
     from ddsketch_ruby_spark.operators.dedup import decontaminate
     from ddsketch_ruby_spark.sources.session import get_spark
 
     spark = get_spark(
-        f"text-scaling-{cores}", cpus=cores, shuffle_partitions=cores
+        f"text-scaling-{cores}-{grams}", cpus=cores, shuffle_partitions=cores
     )
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(DATA).select("url", "text")
@@ -52,12 +55,14 @@ def run_child(cores: int) -> None:
     bench = spark.read.parquet(BENCH_DATA)
 
     def job():
-        out = decontaminate(df, bench, "text", "url", n=NGRAM)
+        out = decontaminate(df, bench, "text", "url", n=NGRAM, grams=grams)
         return out.agg(
             F.sum(F.col("contaminated").cast("long")).alias("hits")
         ).collect()[0]["hits"]
 
-    job_warm = decontaminate(df.limit(2000), bench.limit(100), "text", "url", n=NGRAM)
+    job_warm = decontaminate(
+        df.limit(2000), bench.limit(100), "text", "url", n=NGRAM, grams=grams
+    )
     job_warm.count()
     best, hits = float("inf"), None
     for _ in range(int(os.environ.get("TEXT_SCALING_RUNS", "2"))):
@@ -68,6 +73,7 @@ def run_child(cores: int) -> None:
         json.dumps(
             {
                 "cores": cores,
+                "grams": grams,
                 "rows": n,
                 "secs": round(best, 3),
                 "docs_per_sec": round(n / best, 1),
@@ -80,7 +86,7 @@ def run_child(cores: int) -> None:
 
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--run":
-        run_child(int(sys.argv[2]))
+        run_child(int(sys.argv[2]), sys.argv[3] if len(sys.argv) > 3 else "string")
         return
 
     if not os.path.exists(DATA):
@@ -108,32 +114,47 @@ def main() -> None:
         )
         spark.stop()
 
-    results: dict[int, dict] = {}
+    results: dict[str, dict[int, dict]] = {m: {} for m in MODES}
     for _ in range(int(os.environ.get("TEXT_SCALING_PASSES", "2"))):
-        for cores in CORES:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--run", str(cores)],
-                capture_output=True,
-                text=True,
-                check=True,
-            )
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            prev = results.get(cores)
-            if prev is not None and prev["contaminated"] != r["contaminated"]:
-                raise AssertionError(f"non-deterministic result: {prev} vs {r}")
-            if prev is None or r["docs_per_sec"] > prev["docs_per_sec"]:
-                results[cores] = r
+        for grams in MODES:
+            for cores in CORES:
+                out = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.abspath(__file__),
+                        "--run",
+                        str(cores),
+                        grams,
+                    ],
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                )
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                prev = results[grams].get(cores)
+                if prev is not None and prev["contaminated"] != r["contaminated"]:
+                    raise AssertionError(
+                        f"non-deterministic result: {prev} vs {r}"
+                    )
+                if prev is None or r["docs_per_sec"] > prev["docs_per_sec"]:
+                    results[grams][cores] = r
+
+    # the two gram engines must agree on the ANSWER, not just scale
+    hits = {m: {r["contaminated"] for r in results[m].values()} for m in MODES}
+    flat = {h for s in hits.values() for h in s}
+    if len(flat) != 1:
+        raise AssertionError(f"gram engines disagree: {hits}")
 
     lo, hi = CORES
-    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (
-        hi / lo
-    )
     report = {
         "job": f"decontaminate (n={NGRAM}, ~1% benchmark slice, broadcast)",
         "rows": ROWS,
-        "levels": results,
-        "efficiency": round(eff, 3),
+        "modes": {},
     }
+    for grams in MODES:
+        rs = results[grams]
+        eff = (rs[hi]["docs_per_sec"] / rs[lo]["docs_per_sec"]) / (hi / lo)
+        report["modes"][grams] = {"levels": rs, "efficiency": round(eff, 3)}
     print(json.dumps(report, indent=2))
     with open(
         os.path.join(

@@ -300,3 +300,101 @@ def test_pandas_encode_survives_empty_partitions(spark):
     enc = pq_encode(few, "embedding", books, engine="pandas")
     assert enc.count() == 3
     assert ivfpq_encode(few, "embedding", cents, books, engine="pandas").count() == 3
+
+
+def test_ann_topk_reranked_matches_bruteforce_when_exhaustive(spark, emb):
+    """With exhaustive probes and a candidate pool big enough to hold the
+    whole corpus, the composed path (ADC candidates -> exact cosine
+    rerank) must EQUAL brute-force cosine_topk row for row — ranks, ids,
+    and rounded sims."""
+    from ddsketch_ruby_spark.operators.pq import ann_topk, ivfpq_encode
+    from ddsketch_ruby_spark.operators.similarity import cosine_topk
+
+    cents, books = _seeded_model()
+    enc = ivfpq_encode(emb, "embedding", cents, books, keep=["vec_id"])
+    n = emb.count()
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+    ]
+    got = ann_topk(
+        emb, "embedding", "vec_id", query, k=5, candidates=n,
+        nprobe=len(cents), encoded=enc, centroids=cents, codebooks=books,
+    ).collect()
+    want = cosine_topk(emb, "embedding", "vec_id", query, k=5).collect()
+    assert [(r["vec_id"], r["sim"], r["rank"]) for r in got] == [
+        (r["vec_id"], r["sim"], r["rank"]) for r in want
+    ]
+
+
+def test_ann_topk_rerank_recall_geq_plain_adc(spark, emb):
+    """The rerank composition's recall@5 against the exact top-5 must be
+    >= the plain ADC top-5's recall, query by query (the candidates
+    cushion can only ADD the true neighbors ADC misrates)."""
+    from ddsketch_ruby_spark.operators.pq import (
+        ann_topk,
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+    from ddsketch_ruby_spark.operators.similarity import cosine_topk
+
+    cents, books = _seeded_model()
+    enc = ivfpq_encode(emb, "embedding", cents, books, keep=["vec_id"])
+    qrows = emb.filter(F.col("vec_id") % 11 == 0).collect()[:5]
+    for r in qrows:
+        query = [float(x) for x in r["embedding"]]
+        truth = {
+            t["vec_id"]
+            for t in cosine_topk(emb, "embedding", "vec_id", query, k=5).collect()
+        }
+        adc = {
+            t["vec_id"]
+            for t in ivfpq_topk(
+                enc, cents, books, "vec_id", query, k=5, nprobe=len(cents)
+            ).collect()
+        }
+        rr = {
+            t["vec_id"]
+            for t in ann_topk(
+                emb, "embedding", "vec_id", query, k=5, candidates=50,
+                nprobe=len(cents), encoded=enc, centroids=cents,
+                codebooks=books,
+            ).collect()
+        }
+        assert len(rr & truth) >= len(adc & truth), r["vec_id"]
+
+
+def test_ann_topk_indexed_and_validation(spark, emb, tmp_path):
+    """index_path mode reads the persisted layout, validates id_col, and
+    rerank=False returns raw ADC output."""
+    from ddsketch_ruby_spark.operators.pq import (
+        ann_topk,
+        ivfpq_topk_indexed,
+        ivfpq_write_index,
+    )
+
+    cents, books = _seeded_model()
+    path = str(tmp_path / "annidx")
+    ivfpq_write_index(emb, path, "embedding", "vec_id", cents, books)
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 2).collect()[0]["embedding"]
+    ]
+    got = ann_topk(
+        emb, "embedding", "vec_id", query, k=5, candidates=20, nprobe=2,
+        index_path=path,
+    ).collect()
+    assert got[0]["vec_id"] == 2 and got[0]["sim"] == 1.0
+    raw = ann_topk(
+        emb, "embedding", "vec_id", query, k=5, nprobe=2,
+        index_path=path, rerank=False,
+    )
+    assert raw.columns == ["vec_id", "pq_dist"]
+    assert [r["vec_id"] for r in raw.collect()] == [
+        r["vec_id"]
+        for r in ivfpq_topk_indexed(spark, path, query, k=5, nprobe=2).collect()
+    ]
+    with pytest.raises(ValueError):
+        ann_topk(emb, "embedding", "wrong_id", query, index_path=path)
+    with pytest.raises(ValueError):
+        ann_topk(emb, "embedding", "vec_id", query)  # no index source
