@@ -1038,6 +1038,148 @@ FROM cand c LEFT JOIN hits h USING (doc_id)
 """
 
 
+def _q_stream_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live drift-monitor loop end-to-end under the hard gate: each
+    STREAMED day's bucket histogram (sketch_stream_hist, 1-day windows,
+    append mode — the exact frames a production monitor would persist) is
+    compared against a batch BASELINE histogram of the whole table via
+    histogram_drift — so the 'is today drifting from the reference
+    distribution?' composition runs streamed-window-vs-baseline, not
+    batch-vs-batch like ddsketch_drift_events. Values are shifted by -50
+    to exercise all three sketch zones through the streaming path.
+    Staging follows the ddsketch_stream_daily discipline exactly (two
+    real micro-batches, far-future sentinel strictly last on the explicit
+    mtime ladder, rmtree in finally). Buckets are exact counts, so the
+    per-day KS statistics are bit-identical to a batch computation and
+    DuckDB recomputes them from the raw events table: per-day histograms
+    on the LN-ratio bucket grid vs the global histogram, cumulative-sum
+    in real-line order (zone, zone*key), max |cdf_day - cdf_global|."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ddsketch_ruby_spark.operators.ddsketch_jvm import histogram_rows
+    from ddsketch_ruby_spark.operators.quantiles import histogram_drift
+    from ddsketch_ruby_spark.sketches.ddsketch_spec import DDSketchSpec
+    from ddsketch_ruby_spark.streaming.sketch_stream import sketch_stream_hist
+
+    (events,) = _tables(spark, sf_dir, "events")
+    src = events.select(
+        "event_id", "ts", (F.col("value") - F.lit(50.0)).alias("v")
+    )
+    spec = DDSketchSpec(relative_accuracy=ALPHA, include_stats=False)
+    stage = tempfile.mkdtemp(prefix="stream_drift_daily_")
+    src_dir = f"{stage}/src"
+    try:
+        for i in range(2):
+            src.filter(F.col("event_id") % 2 == i).select(
+                "ts", "v"
+            ).coalesce(1).write.mode("append").parquet(src_dir)
+            _stamp_new_parquet_mtimes(src_dir, batch_index=i)
+        last_ts = events.agg(F.max("ts")).collect()[0][0]
+        events.agg(F.max("ts").alias("__mx")).select(
+            (F.col("__mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit(1.0).alias("v"),
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        _stamp_new_parquet_mtimes(src_dir, batch_index=2)
+
+        stream = (
+            spark.readStream.schema(src.select("ts", "v").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        hist = sketch_stream_hist(
+            stream, spec, "v", "ts", window="1 day", watermark="0 seconds"
+        )
+        qn = f"stream_drift_daily_{uuid.uuid4().hex[:8]}"
+        q = (
+            hist.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{stage}/ckpt")
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_drift_daily stream did not drain within 300 s — "
+                "refusing to gate a partially-filled memory sink"
+            )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    live = (
+        spark.table(qn)
+        .where(F.col("window_start") <= F.lit(last_ts))
+        .select(
+            F.to_date("window_start").alias("day"), "__zone", "__key", "__cnt"
+        )
+    )
+    # replicate the baseline per day: the broadcast side is the GLOBAL
+    # bucket histogram — bounded by the sketch's bucket count (~hundreds
+    # of rows, independent of input size), so the nested-loop replication
+    # is a scan of |days| x |buckets|, never an input-row blowup
+    days = src.select(F.to_date("ts").alias("day")).distinct()
+    baseline = days.crossJoin(
+        F.broadcast(
+            histogram_rows(src, spec, "v").select("__zone", "__key", "__cnt")
+        )
+    )
+    return histogram_drift(baseline, live, ["day"])
+
+
+def _stream_drift_oracle_sql() -> str:
+    from ddsketch_ruby_spark.kernel.mapping import mapping_from_name
+
+    m = mapping_from_name("logarithmic", ALPHA)
+    mp = m.min_possible
+    key = lambda col: (  # noqa: E731
+        f"CAST(CEIL(LN({col}) / LN(2.0) * {_dlit(m._multiplier)}) AS BIGINT)"
+    )
+    cum = (
+        "OVER (PARTITION BY day ORDER BY zone, zone * k "
+        "ROWS UNBOUNDED PRECEDING)"
+    )
+    tot = "OVER (PARTITION BY day)"
+    return f"""
+WITH src AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(value - 50.0 AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+pzd AS (SELECT day, 1 AS zone, {key("v")} AS k, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM src WHERE v > {_dlit(mp)} GROUP BY day, 3),
+nzd AS (SELECT day, -1 AS zone, {key("-v")} AS k, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM src WHERE v < {_dlit(-mp)} GROUP BY day, 3),
+zzd AS (SELECT day, 0 AS zone, CAST(0 AS BIGINT) AS k,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM src WHERE v >= {_dlit(-mp)} AND v <= {_dlit(mp)} GROUP BY day),
+hd AS (SELECT * FROM pzd UNION ALL SELECT * FROM nzd
+       UNION ALL SELECT * FROM zzd),
+hg AS (SELECT zone, k, SUM(c) AS c FROM hd GROUP BY zone, k),
+days AS (SELECT DISTINCT day FROM src),
+grid AS (
+  SELECT day, zone, k, c AS ca, 0.0 AS cb FROM days CROSS JOIN hg
+  UNION ALL
+  SELECT day, zone, k, 0.0 AS ca, c AS cb FROM hd
+),
+piv AS (SELECT day, zone, k, SUM(ca) AS ca, SUM(cb) AS cb
+        FROM grid GROUP BY day, zone, k),
+cum AS (
+  SELECT day,
+         SUM(ca) {cum} AS fa,
+         SUM(cb) {cum} AS fb,
+         SUM(ca) {tot} AS na,
+         SUM(cb) {tot} AS nb
+  FROM piv
+)
+SELECT day,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       ROUND(MAX(ABS(fa / na - fb / nb)), 6) AS ks_stat
+FROM cum GROUP BY day
+"""
+
+
 def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ONE-CALL corpus cleaner (operators/dedup.py dedup_corpus) under
     the hard gate — the operator a user actually reaches for, not just its
@@ -3386,7 +3528,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_collapsed_bins": _q_ddsketch_collapsed_bins,
     "ivfpq_trained_recall": _q_ivfpq_trained_recall,
     "ann_rerank_recall": _q_ann_rerank_recall,
-    "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
+    "stream_drift_daily": _q_stream_drift_daily,
     "proto_roundtrip_bins": _q_proto_roundtrip_bins,
     "cms_heavy_parts": _q_cms_heavy_parts,
     "bloom_membership": _q_bloom_membership,
@@ -3443,6 +3585,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_bins_events": _q_ddsketch_bins,
     "ddsketch_collapsed_high_bins": _q_ddsketch_collapsed_high_bins,
     "ddsketch_collapsed_quantiles": _q_ddsketch_collapsed_quantiles,
+    "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
     "tdigest_price_by_returnflag": _q_tdigest_price,
     "kll_quantity_quantiles": _q_kll_quantity,
     "ddsketch_weighted_quantity": _q_ddsketch_weighted,
@@ -4872,6 +5015,7 @@ ORACLES["normalize_documents"] = _NORMALIZE_ORACLE
 ORACLES["repetition_documents"] = _repetition_oracle_sql()
 ORACLES["ivfpq_topk_embeddings"] = _ivfpq_oracle_sql(k=10)
 ORACLES["ddsketch_drift_events"] = _ddsketch_drift_oracle_sql()
+ORACLES["stream_drift_daily"] = _stream_drift_oracle_sql()
 ORACLES["ddsketch_psi_events"] = _ddsketch_psi_oracle_sql()
 ORACLES["sketch_winsorize_events"] = _sketch_winsorize_oracle_sql()
 ORACLES["robust_stats_events"] = _robust_stats_oracle_sql()

@@ -3,11 +3,17 @@ __spark_entry__.queries() entry at sf0.01 and compares against
 oracle_sql() via DuckDB — row count, schema (column names), and
 order-insensitive values.
 
-Usage: python scripts/check_oracles.py [sf_dir] [query_name ...]
+Usage: python scripts/check_oracles.py [--json OUT.json] [sf_dir] [query ...]
+
+--json writes a driver-artifact-shaped record per query (rows_match /
+schema_match / hash_match / spark_rows / oracle_rows / err) covering the
+FULL registry — the per-round self-replay artifact (CORRECTNESS_SELF_r*.json)
+that persists the tail queries' status beyond the driver's 50-row window.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -40,8 +46,14 @@ def _rows_multiset(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    records: dict[str, dict] = {}
     spark = get_spark("check-oracles", cpus=8, shuffle_partitions=8)
 
     con = duckdb.connect()
@@ -67,12 +79,27 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
-        scols = sdf.columns
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as exc:  # record, keep replaying the rest
+            failures += 1
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"{type(exc).__name__}: {exc}",
+            }
+            print(f"{name}: ERROR {type(exc).__name__}: {exc}")
+            continue
         if name not in oracles:
             print(f"{name}: rows-only check — {len(srows)} rows "
                   f"({'OK' if len(srows) >= 0 else '??'})")
+            records[name] = {
+                "rows_match": len(srows) >= 0, "schema_match": None,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": None,
+            }
             continue
         res = con.execute(oracles[name])
         dcols = [d[0] for d in res.description]
@@ -85,6 +112,11 @@ def main() -> int:
         status = "PASS" if (ok_schema and ok_count and ok_values) else "FAIL"
         if status == "FAIL":
             failures += 1
+        records[name] = {
+            "rows_match": ok_count, "schema_match": ok_schema,
+            "hash_match": ok_values, "spark_rows": len(s_ms),
+            "oracle_rows": len(d_ms), "err": None,
+        }
         print(f"{name}: {status} (schema={ok_schema} rows={len(s_ms)}/{len(d_ms)} "
               f"values={ok_values})")
         if not ok_schema:
@@ -96,6 +128,10 @@ def main() -> int:
             for a, b in diffs:
                 print(f"  spark: {a}\n  duck : {b}")
     spark.stop()
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {len(records)} records to {json_out}")
     return 1 if failures else 0
 
 
