@@ -581,6 +581,138 @@ SELECT vec_id, ROUND(dd, 6) AS pq_dist FROM ranked WHERE rn <= {k}
 """
 
 
+def _q_ivfpq_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH ADC ANN under the hard gate (operators/pq.py ivfpq_ann_join,
+    EXHAUSTIVE nprobe): every 97th embedding becomes a query row; the
+    driver-built (query, cell) residual lookup tables broadcast as thin
+    rows, ONE hash join on the cell key scores all codes for all queries
+    in one job, and the per-query window ranks them. The oracle replays
+    the ENTIRE relation — coarse assignment, residual encode, per-(query,
+    cell) LUTs and the ranked (query_id, vec_id, pq_dist, rank) output —
+    with the same ordered-fold float discipline as ivfpq_topk_embeddings,
+    now partitioned by query. Truncated-nprobe and persisted-index paths
+    are pinned by pytest parity + a PartitionFilters check."""
+    from ddsketch_ruby_spark.operators.pq import ivfpq_ann_join, ivfpq_encode
+
+    cents, books = _ivfpq_model()
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    enc = ivfpq_encode(emb, "embedding", cents, books, keep=["vec_id"])
+    return ivfpq_ann_join(
+        enc, queries, cents, books, "vec_id", "qid", "qemb",
+        k=5, nprobe=_IVFPQ_CELLS,
+    )
+
+
+def _ivfpq_ann_join_oracle_sql(k: int = 5, mod: int = 97) -> str:
+    """The _ivfpq_oracle_sql replay generalized to N queries: the q CTE
+    carries query_id, the LUT CTE is per (query, cell), and the ranking
+    window partitions by query. Kept as a separate generator so the
+    long-green single-query oracle's SQL text stays byte-identical."""
+    cents, books = _ivfpq_model()
+    n_cells, dim = cents.shape
+    m, cbk, dsub = books.shape
+
+    cell_rows = ",\n".join(
+        f"({c}, " + ", ".join(_dlit(float(x)) for x in cents[c]) + ")"
+        for c in range(n_cells)
+    )
+    cell_cols = ", ".join(f"d{j}" for j in range(1, dim + 1))
+    cent_rows = ",\n".join(
+        f"({c}, {s}, "
+        + ", ".join(
+            _dlit(float(cents[c, s * dsub + j])) for j in range(dsub)
+        )
+        + ")"
+        for c in range(n_cells)
+        for s in range(m)
+    )
+    cb_rows = ",\n".join(
+        f"({s}, {c}, "
+        + ", ".join(_dlit(float(books[s, c, j])) for j in range(dsub))
+        + ")"
+        for s in range(m)
+        for c in range(cbk)
+    )
+    sub_cols = ", ".join(f"s{j}" for j in range(1, dsub + 1))
+    code_cols = ", ".join(f"b{j}" for j in range(1, dsub + 1))
+
+    assign_chain = "CAST(0 AS DOUBLE)"
+    for j in range(1, dim + 1):
+        assign_chain = f"({assign_chain} + (e[{j}] - d{j}) * (e[{j}] - d{j}))"
+
+    def resid_chain(vec: str) -> str:
+        expr = "CAST(0 AS DOUBLE)"
+        for j in range(1, dsub + 1):
+            t = f"(({vec}[cb.sub*{dsub}+{j}] - s{j}) - b{j})"
+            expr = f"({expr} + {t} * {t})"
+        return expr
+
+    pivots = ", ".join(
+        f"MAX(CASE WHEN e.sub = {s} THEN l.qd END) AS p{s}" for s in range(m)
+    )
+    total = "CAST(0 AS DOUBLE)"
+    for s in range(m):
+        total = f"({total} + p{s})"
+    return f"""
+WITH cells(cell, {cell_cols}) AS (VALUES
+{cell_rows}
+),
+cent(cell, sub, {sub_cols}) AS (VALUES
+{cent_rows}
+),
+cb(sub, code, {code_cols}) AS (VALUES
+{cb_rows}
+),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % {mod} = 0),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ad AS (SELECT v.vec_id, cells.cell, {assign_chain} AS dist
+       FROM v CROSS JOIN cells),
+ar AS (SELECT vec_id, cell,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+                AS rn
+       FROM ad),
+asg AS (SELECT vec_id, cell FROM ar WHERE rn = 1),
+rd AS (
+  SELECT a.vec_id, cb.sub, cb.code, {resid_chain("e")} AS dist
+  FROM asg a JOIN v USING (vec_id)
+  CROSS JOIN cb
+  JOIN cent ON cent.cell = a.cell AND cent.sub = cb.sub
+),
+re AS (
+  SELECT vec_id, sub, code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code)
+           AS rn
+  FROM rd
+),
+lutq AS (
+  SELECT q.query_id, cent.cell, cb.sub, cb.code, {resid_chain("qv")} AS qd
+  FROM cb JOIN cent ON cent.sub = cb.sub CROSS JOIN q
+),
+sc AS (
+  SELECT l.query_id, e.vec_id, {pivots}
+  FROM re e
+  JOIN asg a USING (vec_id)
+  JOIN lutq l ON l.cell = a.cell AND l.sub = e.sub AND l.code = e.code
+  WHERE e.rn = 1
+  GROUP BY l.query_id, e.vec_id
+),
+scored AS (SELECT query_id, vec_id, {total} AS dd FROM sc),
+ranked AS (
+  SELECT query_id, vec_id, dd,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY dd, vec_id
+         ) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(dd, 6) AS pq_dist, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_ivf_ann_join_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch IVF under the hard gate via EXHAUSTIVE probing: with
     nprobe == n_cells every query joins every cell, so k-means training,
@@ -3529,7 +3661,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_trained_recall": _q_ivfpq_trained_recall,
     "ann_rerank_recall": _q_ann_rerank_recall,
     "stream_drift_daily": _q_stream_drift_daily,
-    "proto_roundtrip_bins": _q_proto_roundtrip_bins,
     "cms_heavy_parts": _q_cms_heavy_parts,
     "bloom_membership": _q_bloom_membership,
     "ddsketch_daily_value": _q_ddsketch_daily,
@@ -3548,6 +3679,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup_pairs": _q_simhash_near_dup_pairs,
     "lsh_ann_join_topk": _q_lsh_ann_join,
     "ivf_ann_join_exhaustive": _q_ivf_ann_join_exhaustive,
+    "ivfpq_ann_join_exhaustive": _q_ivfpq_ann_join,
     "pq_topk_embeddings": _q_pq_topk,
     "ivfpq_topk_embeddings": _q_ivfpq_topk,
     "weighted_sample_documents": _q_weighted_sample_docs,
@@ -3583,6 +3715,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 to make room for the hashed-gram, shuffled-decontaminate,
     # trained-IVF-PQ, and reranked-ANN gates)
     "ddsketch_bins_events": _q_ddsketch_bins,
+    "proto_roundtrip_bins": _q_proto_roundtrip_bins,
     "ddsketch_collapsed_high_bins": _q_ddsketch_collapsed_high_bins,
     "ddsketch_collapsed_quantiles": _q_ddsketch_collapsed_quantiles,
     "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
@@ -5014,6 +5147,7 @@ ORACLES["pq_topk_embeddings"] = _pq_oracle_sql(k=10)
 ORACLES["normalize_documents"] = _NORMALIZE_ORACLE
 ORACLES["repetition_documents"] = _repetition_oracle_sql()
 ORACLES["ivfpq_topk_embeddings"] = _ivfpq_oracle_sql(k=10)
+ORACLES["ivfpq_ann_join_exhaustive"] = _ivfpq_ann_join_oracle_sql(k=5)
 ORACLES["ddsketch_drift_events"] = _ddsketch_drift_oracle_sql()
 ORACLES["stream_drift_daily"] = _stream_drift_oracle_sql()
 ORACLES["ddsketch_psi_events"] = _ddsketch_psi_oracle_sql()

@@ -46,6 +46,8 @@ __all__ = [
     "ivfpq_write_index",
     "ivfpq_topk_indexed",
     "ann_topk",
+    "ivfpq_ann_join",
+    "ivfpq_ann_join_indexed",
 ]
 
 
@@ -549,6 +551,148 @@ def ann_topk(
     )
     return cosine_topk(survivors, vec_col, id_col, query, k=k,
                        round_to=round_to)
+
+
+def _ivfpq_probe_frame(
+    queries: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    nprobe: int,
+):
+    """Driver-built (query_id, cell, flattened ADC LUT) probe rows for the
+    batch ANN join. The collect is the bounded QUERY workload (same budget
+    class as the lsh_ann_join_indexed probe collect and the _planted_recall
+    harness): |queries| x nprobe rows x m*codebook_size doubles — a few
+    hundred KB for thousands of queries. LUT entries use pq_adc_lut's
+    sequential left fold, so the scored doubles stay bit-identical to the
+    per-query ivfpq_topk path."""
+    from .similarity import _probe_cells
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    id_field = next(
+        f for f in queries.schema.fields if f.name == query_id_col
+    )
+    rows = []
+    for r in qrows:
+        q = [float(x) for x in r[query_vec_col]]
+        for c in _probe_cells(centroids, q, nprobe):
+            rq = [q[i] - float(centroids[c][i]) for i in range(len(q))]
+            lut = pq_adc_lut(codebooks, rq)
+            rows.append(
+                (r[query_id_col], int(c), [x for sub in lut for x in sub])
+            )
+    schema = T.StructType(
+        [
+            T.StructField("query_id", id_field.dataType),
+            T.StructField("__cell", T.IntegerType(), False),
+            T.StructField("__lut", T.ArrayType(T.DoubleType(), False), False),
+        ]
+    )
+    return rows, schema
+
+
+def ivfpq_ann_join(
+    encoded: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+    round_to: int = 6,
+) -> DataFrame:
+    """Batch ADC ANN over an IVF-PQ index: the nprobe-cell top-k for every
+    row of ``queries`` in ONE job — the IVF-PQ member of the ann-join
+    family (lsh_ann_join / ivf_ann_join). Plan shape: the per-(query,
+    probed-cell) residual lookup tables are built driver-side from the
+    bounded query workload and BROADCAST as thin (query_id, cell, lut)
+    rows; one hash join on the cell key scores every candidate code with
+    its own cell's table (m array lookups, the ordered fold — bit-
+    identical doubles to per-query ivfpq_topk, pytest-pinned); a
+    per-query window ranks the survivors. The corpus side reads ONLY
+    (id, cell, codes) — ~12 B/row — and is scanned once for all queries.
+    Returns (query_id, id, pq_dist, rank) ascending per query."""
+    m, ksz, _ = codebooks.shape
+    rows, schema = _ivfpq_probe_frame(
+        queries, query_id_col, query_vec_col, centroids, codebooks, nprobe
+    )
+    spark = encoded.sparkSession
+    probes = F.broadcast(spark.createDataFrame(rows, schema))
+    cand = encoded.join(probes, F.col(cell_col) == F.col("__cell"))
+    score = F.lit(0.0)
+    for s in range(m):
+        score = score + F.element_at(
+            F.col("__lut"), s * ksz + F.col(code_col)[s] + 1
+        )
+    return _adc_rank(cand, id_col, score, k, round_to)
+
+
+def _adc_rank(cand, id_col: str, score, k: int, round_to: int):
+    """Per-query ADC ranking with ivfpq_topk's tie discipline: rank on the
+    UNROUNDED score (ties to the lowest id), round only in the output."""
+    from pyspark.sql import Window
+
+    scored = cand.select("query_id", F.col(id_col), score.alias("__d"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__d").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.round("__d", round_to).alias("pq_dist"),
+            "rank",
+        )
+    )
+
+
+def ivfpq_ann_join_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Batch ADC ANN against a PERSISTED IVF-PQ index (ivfpq_write_index):
+    reads only the UNION of the queries' probe cells via a literal
+    partition filter (static pruning needs a literal — the
+    ivf_ann_join_indexed precedent; the probed-cell union is bounded by
+    n_cells). Scoring and ranking are identical to ivfpq_ann_join."""
+    import json
+
+    meta = json.loads(
+        spark.read.text(f"{path}/model.json").collect()[0].value
+    )
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
+    m, ksz, _ = codebooks.shape
+    rows, schema = _ivfpq_probe_frame(
+        queries, query_id_col, query_vec_col, centroids, codebooks, nprobe
+    )
+    cells = sorted({r[1] for r in rows})
+    probes = F.broadcast(spark.createDataFrame(rows, schema))
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin(cells)
+    )
+    cand = codes.join(probes, F.col("cell") == F.col("__cell"))
+    id_col = meta["id_col"]
+    score = F.lit(0.0)
+    for s in range(m):
+        score = score + F.element_at(
+            F.col("__lut"), s * ksz + F.col("pq_code")[s] + 1
+        )
+    return _adc_rank(cand, id_col, score, k, round_to)
 
 
 def ivfpq_topk_indexed(

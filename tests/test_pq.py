@@ -398,3 +398,77 @@ def test_ann_topk_indexed_and_validation(spark, emb, tmp_path):
         ann_topk(emb, "embedding", "wrong_id", query, index_path=path)
     with pytest.raises(ValueError):
         ann_topk(emb, "embedding", "vec_id", query)  # no index source
+
+
+def test_ivfpq_ann_join_matches_per_query(spark, emb):
+    """Batch join == per-query ivfpq_topk, bit-for-bit (ids AND rounded
+    distances), at truncated AND exhaustive nprobe."""
+    from ddsketch_ruby_spark.operators.pq import (
+        ivfpq_ann_join,
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    cents, books = _seeded_model()
+    enc = ivfpq_encode(emb, "embedding", cents, books, keep=["vec_id"])
+    queries = emb.filter(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    qrows = queries.collect()
+    for nprobe in (2, len(cents)):
+        joined = ivfpq_ann_join(
+            enc, queries, cents, books, "vec_id", "qid", "qemb",
+            k=5, nprobe=nprobe,
+        ).collect()
+        by_q: dict = {}
+        for r in joined:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["vec_id"], r["pq_dist"])
+            )
+        for qr in qrows:
+            want = [
+                (r["vec_id"], r["pq_dist"])
+                for r in ivfpq_topk(
+                    enc, cents, books, "vec_id",
+                    [float(x) for x in qr["qemb"]], k=5, nprobe=nprobe,
+                ).collect()
+            ]
+            assert by_q[qr["qid"]] == want, (qr["qid"], nprobe)
+
+
+def test_ivfpq_ann_join_indexed_prunes_and_matches_fly(spark, emb, tmp_path):
+    from ddsketch_ruby_spark.operators.pq import (
+        ivfpq_ann_join,
+        ivfpq_ann_join_indexed,
+        ivfpq_encode,
+        ivfpq_write_index,
+    )
+
+    cents, books = _seeded_model()
+    path = str(tmp_path / "annjoinidx")
+    ivfpq_write_index(emb, path, "embedding", "vec_id", cents, books)
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    res = ivfpq_ann_join_indexed(
+        spark, path, queries, "qid", "qemb", k=5, nprobe=2
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan
+    enc = ivfpq_encode(
+        emb, "embedding", cents, books, cell_col="cell", keep=["vec_id"]
+    )
+    fly = ivfpq_ann_join(
+        enc, queries, cents, books, "vec_id", "qid", "qemb",
+        k=5, nprobe=2, cell_col="cell",
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(
+        [(r["query_id"], r["vec_id"], r["pq_dist"], r["rank"]) for r in res.collect()],
+        key=lambda t: (t[0], t[3]),
+    ) == sorted(
+        [(r["query_id"], r["vec_id"], r["pq_dist"], r["rank"]) for r in fly.collect()],
+        key=lambda t: (t[0], t[3]),
+    )
