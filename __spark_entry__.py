@@ -713,6 +713,30 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _q_ann_join_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCH reranked-ANN composition under the hard gate
+    (operators/pq.py ann_join_topk) in its exactness limit: exhaustive
+    nprobe and a candidate pool wider than the corpus make the ADC stage
+    pass every row, so the exact-cosine rerank must reproduce the
+    brute-force per-query top-k — the SAME CROSS JOIN + ROW_NUMBER oracle
+    as ivf_ann_join_exhaustive, with zero new SQL. This pins the whole
+    composition (codes-only candidate join -> broadcast semi-join of
+    survivor vectors -> _score_and_rank rerank); the truncated-candidates
+    path is pinned by pytest parity with per-query ann_topk."""
+    from ddsketch_ruby_spark.operators.pq import ann_join_topk, ivfpq_encode
+
+    cents, books = _ivfpq_model()
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    enc = ivfpq_encode(emb, "embedding", cents, books, keep=["vec_id"])
+    return ann_join_topk(
+        emb, enc, queries, cents, books, "embedding", "vec_id",
+        "qid", "qemb", k=5, candidates=1_000_000, nprobe=_IVFPQ_CELLS,
+    )
+
+
 def _q_ivf_ann_join_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch IVF under the hard gate via EXHAUSTIVE probing: with
     nprobe == n_cells every query joins every cell, so k-means training,
@@ -3680,6 +3704,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_join_topk": _q_lsh_ann_join,
     "ivf_ann_join_exhaustive": _q_ivf_ann_join_exhaustive,
     "ivfpq_ann_join_exhaustive": _q_ivfpq_ann_join,
+    "ann_join_rerank_exhaustive": _q_ann_join_rerank,
     "pq_topk_embeddings": _q_pq_topk,
     "ivfpq_topk_embeddings": _q_ivfpq_topk,
     "weighted_sample_documents": _q_weighted_sample_docs,
@@ -3702,7 +3727,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ddsketch_psi_events": _q_ddsketch_psi,
     "sketch_winsorize_events": _q_sketch_winsorize,
     "robust_stats_events": _q_robust_stats,
-    "dedup_clusters_documents": _q_dedup_clusters,
     "dedup_collapse_documents": _q_dedup_collapse,
     "bpe_token_documents": _q_bpe_tokens,
     "ivf_recall_planted": _q_ivf_recall_planted,
@@ -3716,6 +3740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # trained-IVF-PQ, and reranked-ANN gates)
     "ddsketch_bins_events": _q_ddsketch_bins,
     "proto_roundtrip_bins": _q_proto_roundtrip_bins,
+    "dedup_clusters_documents": _q_dedup_clusters,
     "ddsketch_collapsed_high_bins": _q_ddsketch_collapsed_high_bins,
     "ddsketch_collapsed_quantiles": _q_ddsketch_collapsed_quantiles,
     "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
@@ -5148,6 +5173,7 @@ ORACLES["normalize_documents"] = _NORMALIZE_ORACLE
 ORACLES["repetition_documents"] = _repetition_oracle_sql()
 ORACLES["ivfpq_topk_embeddings"] = _ivfpq_oracle_sql(k=10)
 ORACLES["ivfpq_ann_join_exhaustive"] = _ivfpq_ann_join_oracle_sql(k=5)
+ORACLES["ann_join_rerank_exhaustive"] = _ivf_ann_join_exhaustive_oracle_sql(k=5)
 ORACLES["ddsketch_drift_events"] = _ddsketch_drift_oracle_sql()
 ORACLES["stream_drift_daily"] = _stream_drift_oracle_sql()
 ORACLES["ddsketch_psi_events"] = _ddsketch_psi_oracle_sql()

@@ -46,6 +46,7 @@ __all__ = [
     "ivfpq_write_index",
     "ivfpq_topk_indexed",
     "ann_topk",
+    "ann_join_topk",
     "ivfpq_ann_join",
     "ivfpq_ann_join_indexed",
 ]
@@ -693,6 +694,60 @@ def ivfpq_ann_join_indexed(
             F.col("__lut"), s * ksz + F.col("pq_code")[s] + 1
         )
     return _adc_rank(cand, id_col, score, k, round_to)
+
+
+def ann_join_topk(
+    df: DataFrame,
+    encoded: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int = 10,
+    candidates: int = 100,
+    nprobe: int = 4,
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+    round_to: int = 6,
+) -> DataFrame:
+    """Batch reranked ANN — ann_topk's composition for N queries in ONE
+    job: ivfpq_ann_join produces each query's ADC top-``candidates`` from
+    the compressed index (codes-only corpus scan), then the survivors'
+    ORIGINAL vectors are read once via a broadcast semi-join of the
+    candidate id set and reranked by exact cosine per query. Returns
+    (query_id, id, sim, rank) — lsh_ann_join's schema, so the PQ-backed
+    pipeline is a drop-in for the uncompressed batch joins.
+
+    Scale shape: the corpus' vector column is touched for at most
+    |queries| x candidates distinct ids (broadcast-bounded); everything
+    upstream moves ~12 B code rows. The exact rerank joins the bounded
+    candidate pair set (query_id, id) back to vectors and queries —
+    both joins broadcast the small side."""
+    from .similarity import _score_and_rank, _sqnorm_col
+
+    cand = ivfpq_ann_join(
+        encoded, queries, centroids, codebooks, id_col,
+        query_id_col, query_vec_col,
+        k=candidates, nprobe=nprobe, cell_col=cell_col, code_col=code_col,
+        round_to=round_to,
+    ).select("query_id", id_col)
+    vecs = df.join(
+        F.broadcast(cand.select(id_col).distinct()), id_col, "left_semi"
+    ).select(F.col(id_col), F.col(vec_col)).withColumn(
+        "__vn", _sqnorm_col(vec_col)
+    )
+    pairs = F.broadcast(cand).join(vecs, id_col)
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+    ).withColumn("__qn", _sqnorm_col("__qv"))
+    joined = pairs.join(F.broadcast(qv), "query_id")
+    # the exact rerank reuses the gated batch-join scoring path
+    # (_score_and_rank: left-fold dot / (__vn * __qn), per-query window)
+    return _score_and_rank(joined, vec_col, id_col, k, round_to)
 
 
 def ivfpq_topk_indexed(

@@ -472,3 +472,37 @@ def test_ivfpq_ann_join_indexed_prunes_and_matches_fly(spark, emb, tmp_path):
         [(r["query_id"], r["vec_id"], r["pq_dist"], r["rank"]) for r in fly.collect()],
         key=lambda t: (t[0], t[3]),
     )
+
+
+def test_ann_join_topk_matches_per_query_ann_topk(spark, emb):
+    """Batch rerank == per-query ann_topk at truncated candidates/nprobe
+    (same seeded model, same k): ids, sims, and ranks, query by query."""
+    from ddsketch_ruby_spark.operators.pq import (
+        ann_join_topk,
+        ann_topk,
+        ivfpq_encode,
+    )
+
+    cents, books = _seeded_model()
+    enc = ivfpq_encode(emb, "embedding", cents, books, keep=["vec_id"])
+    queries = emb.filter(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    got: dict = {}
+    for r in ann_join_topk(
+        emb, enc, queries, cents, books, "embedding", "vec_id",
+        "qid", "qemb", k=5, candidates=20, nprobe=2,
+    ).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["sim"], r["rank"])
+        )
+    for qr in queries.collect():
+        want = [
+            (r["vec_id"], r["sim"], r["rank"])
+            for r in ann_topk(
+                emb, "embedding", "vec_id",
+                [float(x) for x in qr["qemb"]], k=5, candidates=20,
+                nprobe=2, encoded=enc, centroids=cents, codebooks=books,
+            ).collect()
+        ]
+        assert got[qr["qid"]] == want, qr["qid"]
