@@ -506,3 +506,18 @@ def test_ann_join_topk_matches_per_query_ann_topk(spark, emb):
             ).collect()
         ]
         assert got[qr["qid"]] == want, qr["qid"]
+
+
+def test_ivfpq_ann_join_empty_queries(spark, emb):
+    from ddsketch_ruby_spark.operators.pq import ivfpq_ann_join, ivfpq_encode
+
+    cents, books = _seeded_model()
+    enc = ivfpq_encode(emb, "embedding", cents, books, keep=["vec_id"])
+    queries = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    out = ivfpq_ann_join(
+        enc, queries, cents, books, "vec_id", "qid", "qemb", k=3, nprobe=2
+    )
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "pq_dist", "rank"]
