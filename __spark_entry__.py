@@ -1194,28 +1194,24 @@ FROM cand c LEFT JOIN hits h USING (doc_id)
 """
 
 
-def _q_stream_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The live drift-monitor loop end-to-end under the hard gate: each
-    STREAMED day's bucket histogram (sketch_stream_hist, 1-day windows,
-    append mode — the exact frames a production monitor would persist) is
-    compared against a batch BASELINE histogram of the whole table via
-    histogram_drift — so the 'is today drifting from the reference
-    distribution?' composition runs streamed-window-vs-baseline, not
-    batch-vs-batch like ddsketch_drift_events. Values are shifted by -50
-    to exercise all three sketch zones through the streaming path.
-    Staging follows the ddsketch_stream_daily discipline exactly (two
-    real micro-batches, far-future sentinel strictly last on the explicit
-    mtime ladder, rmtree in finally). Buckets are exact counts, so the
-    per-day KS statistics are bit-identical to a batch computation and
-    DuckDB recomputes them from the raw events table: per-day histograms
-    on the LN-ratio bucket grid vs the global histogram, cumulative-sum
-    in real-line order (zone, zone*key), max |cdf_day - cdf_global|."""
+def _stream_daily_buckets(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> tuple:
+    """Shared staging for the streamed-monitor gates (stream_drift_daily /
+    stream_psi_daily): events (value shifted by -50 so all three sketch
+    zones stream) staged as two real micro-batches + a far-future
+    sentinel strictly last on the explicit mtime ladder (the
+    ddsketch_stream_daily discipline, rmtree in finally), streamed
+    through sketch_stream_hist in 1-day append-mode windows. Returns
+    (live per-day bucket rows, per-day-replicated broadcast BASELINE
+    bucket rows) — exactly the two frames histogram_drift/histogram_psi
+    take. Buckets are exact counts, so the streamed frames are
+    bit-identical to a batch histogram of the same days."""
     import shutil
     import tempfile
     import uuid
 
     from ddsketch_ruby_spark.operators.ddsketch_jvm import histogram_rows
-    from ddsketch_ruby_spark.operators.quantiles import histogram_drift
     from ddsketch_ruby_spark.sketches.ddsketch_spec import DDSketchSpec
     from ddsketch_ruby_spark.streaming.sketch_stream import sketch_stream_hist
 
@@ -1224,7 +1220,7 @@ def _q_stream_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", (F.col("value") - F.lit(50.0)).alias("v")
     )
     spec = DDSketchSpec(relative_accuracy=ALPHA, include_stats=False)
-    stage = tempfile.mkdtemp(prefix="stream_drift_daily_")
+    stage = tempfile.mkdtemp(prefix=f"{prefix}_")
     src_dir = f"{stage}/src"
     try:
         for i in range(2):
@@ -1247,7 +1243,7 @@ def _q_stream_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist = sketch_stream_hist(
             stream, spec, "v", "ts", window="1 day", watermark="0 seconds"
         )
-        qn = f"stream_drift_daily_{uuid.uuid4().hex[:8]}"
+        qn = f"{prefix}_{uuid.uuid4().hex[:8]}"
         q = (
             hist.writeStream.format("memory")
             .queryName(qn)
@@ -1259,7 +1255,7 @@ def _q_stream_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError(
-                "stream_drift_daily stream did not drain within 300 s — "
+                f"{prefix} stream did not drain within 300 s — "
                 "refusing to gate a partially-filled memory sink"
             )
     finally:
@@ -1281,7 +1277,95 @@ def _q_stream_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             histogram_rows(src, spec, "v").select("__zone", "__key", "__cnt")
         )
     )
+    return live, baseline
+
+
+def _q_stream_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live drift-monitor loop end-to-end under the hard gate: each
+    STREAMED day's bucket histogram (sketch_stream_hist, 1-day windows,
+    append mode — the exact frames a production monitor would persist) is
+    compared against a batch BASELINE histogram of the whole table via
+    histogram_drift — so the 'is today drifting from the reference
+    distribution?' composition runs streamed-window-vs-baseline, not
+    batch-vs-batch like ddsketch_drift_events. Staging + baseline shape
+    in _stream_daily_buckets. Buckets are exact counts, so the per-day KS
+    statistics are bit-identical to a batch computation and DuckDB
+    recomputes them from the raw events table: per-day histograms on the
+    LN-ratio bucket grid vs the global histogram, cumulative-sum in
+    real-line order (zone, zone*key), max |cdf_day - cdf_global|."""
+    from ddsketch_ruby_spark.operators.quantiles import histogram_drift
+
+    live, baseline = _stream_daily_buckets(spark, sf_dir, "stream_drift_daily")
     return histogram_drift(baseline, live, ["day"])
+
+
+def _q_stream_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER live monitor through the same streamed frames: per-day
+    PSI of each streamed day's bucket histogram vs the batch baseline
+    (histogram_psi — Laplace-smoothed over the union grid, bm25-style
+    integer-scaled term sums so the statistic is partitioning-invariant).
+    Because the global histogram contains every day's buckets, the
+    per-day union grid IS the global bucket set, which DuckDB replays
+    with a days x global-buckets grid left-joined to the per-day counts;
+    the per-bucket terms are rounded to integers before summing on both
+    engines, so the per-day PSI hash-matches exactly."""
+    from ddsketch_ruby_spark.operators.quantiles import histogram_psi
+
+    live, baseline = _stream_daily_buckets(spark, sf_dir, "stream_psi_daily")
+    return histogram_psi(baseline, live, ["day"])
+
+
+def _stream_psi_oracle_sql() -> str:
+    from ddsketch_ruby_spark.kernel.mapping import mapping_from_name
+
+    m = mapping_from_name("logarithmic", ALPHA)
+    mp = m.min_possible
+    key = lambda col: (  # noqa: E731
+        f"CAST(CEIL(LN({col}) / LN(2.0) * {_dlit(m._multiplier)}) AS BIGINT)"
+    )
+    tot = "OVER (PARTITION BY day)"
+    pa = "((ca + 0.5) / (na + 0.5 * nbk))"
+    pb = "((cb + 0.5) / (nb + 0.5 * nbk))"
+    return f"""
+WITH src AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(value - 50.0 AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+pzd AS (SELECT day, 1 AS zone, {key("v")} AS k, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM src WHERE v > {_dlit(mp)} GROUP BY day, 3),
+nzd AS (SELECT day, -1 AS zone, {key("-v")} AS k, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM src WHERE v < {_dlit(-mp)} GROUP BY day, 3),
+zzd AS (SELECT day, 0 AS zone, CAST(0 AS BIGINT) AS k,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM src WHERE v >= {_dlit(-mp)} AND v <= {_dlit(mp)} GROUP BY day),
+hd AS (SELECT * FROM pzd UNION ALL SELECT * FROM nzd
+       UNION ALL SELECT * FROM zzd),
+hg AS (SELECT zone, k, SUM(c) AS c FROM hd GROUP BY zone, k),
+days AS (SELECT DISTINCT day FROM src),
+grid AS (
+  SELECT d.day, g.zone, g.k, g.c AS ca, COALESCE(h.c, 0.0) AS cb
+  FROM days d CROSS JOIN hg g
+  LEFT JOIN hd h ON h.day = d.day AND h.zone = g.zone AND h.k = g.k
+),
+tot AS (
+  SELECT day, ca, cb,
+         SUM(ca) {tot} AS na,
+         SUM(cb) {tot} AS nb,
+         CAST(COUNT(*) {tot} AS DOUBLE) AS nbk
+  FROM grid
+),
+terms AS (
+  SELECT day, na, nb,
+         CAST(ROUND(({pa} - {pb}) * LN({pa} / {pb})
+                    * 1000000000.0, 0) AS BIGINT) AS it
+  FROM tot
+)
+SELECT day,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       ROUND(CAST(SUM(it) AS DOUBLE) / 1000000000.0, 6) AS psi
+FROM terms GROUP BY day
+"""
 
 
 def _stream_drift_oracle_sql() -> str:
@@ -3685,9 +3769,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_trained_recall": _q_ivfpq_trained_recall,
     "ann_rerank_recall": _q_ann_rerank_recall,
     "stream_drift_daily": _q_stream_drift_daily,
+    "stream_psi_daily": _q_stream_psi_daily,
     "cms_heavy_parts": _q_cms_heavy_parts,
     "bloom_membership": _q_bloom_membership,
-    "ddsketch_daily_value": _q_ddsketch_daily,
     "ddsketch_stream_daily": _q_ddsketch_stream_daily,
     "ddsketch_stream_sliding": _q_ddsketch_stream_sliding,
     "stream_dedup_users": _q_stream_dedup_users,
@@ -3739,6 +3823,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 to make room for the hashed-gram, shuffled-decontaminate,
     # trained-IVF-PQ, and reranked-ANN gates)
     "ddsketch_bins_events": _q_ddsketch_bins,
+    "ddsketch_daily_value": _q_ddsketch_daily,
     "proto_roundtrip_bins": _q_proto_roundtrip_bins,
     "dedup_clusters_documents": _q_dedup_clusters,
     "ddsketch_collapsed_high_bins": _q_ddsketch_collapsed_high_bins,
@@ -5176,6 +5261,7 @@ ORACLES["ivfpq_ann_join_exhaustive"] = _ivfpq_ann_join_oracle_sql(k=5)
 ORACLES["ann_join_rerank_exhaustive"] = _ivf_ann_join_exhaustive_oracle_sql(k=5)
 ORACLES["ddsketch_drift_events"] = _ddsketch_drift_oracle_sql()
 ORACLES["stream_drift_daily"] = _stream_drift_oracle_sql()
+ORACLES["stream_psi_daily"] = _stream_psi_oracle_sql()
 ORACLES["ddsketch_psi_events"] = _ddsketch_psi_oracle_sql()
 ORACLES["sketch_winsorize_events"] = _sketch_winsorize_oracle_sql()
 ORACLES["robust_stats_events"] = _robust_stats_oracle_sql()

@@ -36,11 +36,12 @@ _ALLOW_NESTED_LOOP = {
     # per-doc frame; the literal join key constant-folds so Catalyst
     # plans BNLJ, but the build side is a single row by construction
     "bm25_topk_documents",
-    # the streamed drift monitor replicates the BROADCAST baseline bucket
+    # the streamed monitors replicate the BROADCAST baseline bucket
     # histogram per day: the build side is bounded by the sketch's bucket
     # count (~hundreds of rows, independent of input size), so the nested
     # loop is |days| x |buckets|, never an input-row blowup
     "stream_drift_daily",
+    "stream_psi_daily",
 }
 
 
