@@ -47,6 +47,7 @@ __all__ = [
     "ivfpq_topk_indexed",
     "ann_topk",
     "ann_join_topk",
+    "ann_join_topk_indexed",
     "ivfpq_ann_join",
     "ivfpq_ann_join_indexed",
 ]
@@ -747,6 +748,51 @@ def ann_join_topk(
     joined = pairs.join(F.broadcast(qv), "query_id")
     # the exact rerank reuses the gated batch-join scoring path
     # (_score_and_rank: left-fold dot / (__vn * __qn), per-query window)
+    return _score_and_rank(joined, vec_col, id_col, k, round_to)
+
+
+def ann_join_topk_indexed(
+    spark,
+    path: str,
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int = 10,
+    candidates: int = 100,
+    nprobe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """ann_join_topk against a PERSISTED IVF-PQ index: candidates come
+    from ivfpq_ann_join_indexed (codes-only, partition-pruned to the
+    probed-cell union), the exact rerank reads only the survivors'
+    vectors from ``df`` — the repeated-workload composition where neither
+    the index build nor the full vector column is touched per query
+    batch. Returns (query_id, id, sim, rank)."""
+    import json
+
+    from .similarity import _score_and_rank, _sqnorm_col
+
+    meta = json.loads(
+        spark.read.text(f"{path}/model.json").collect()[0].value
+    )
+    id_col = meta["id_col"]
+    cand = ivfpq_ann_join_indexed(
+        spark, path, queries, query_id_col, query_vec_col,
+        k=candidates, nprobe=nprobe, round_to=round_to,
+    ).select("query_id", id_col)
+    vecs = df.join(
+        F.broadcast(cand.select(id_col).distinct()), id_col, "left_semi"
+    ).select(F.col(id_col), F.col(vec_col)).withColumn(
+        "__vn", _sqnorm_col(vec_col)
+    )
+    pairs = F.broadcast(cand).join(vecs, id_col)
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+    ).withColumn("__qn", _sqnorm_col("__qv"))
+    joined = pairs.join(F.broadcast(qv), "query_id")
     return _score_and_rank(joined, vec_col, id_col, k, round_to)
 
 

@@ -521,3 +521,43 @@ def test_ivfpq_ann_join_empty_queries(spark, emb):
     )
     assert out.count() == 0
     assert out.columns == ["query_id", "vec_id", "pq_dist", "rank"]
+
+
+def test_ann_join_topk_indexed_matches_in_memory(spark, emb, tmp_path):
+    """Persisted-index batch rerank == in-memory batch rerank, and the
+    candidate stage still partition-prunes."""
+    from ddsketch_ruby_spark.operators.pq import (
+        ann_join_topk,
+        ann_join_topk_indexed,
+        ivfpq_encode,
+        ivfpq_write_index,
+    )
+
+    cents, books = _seeded_model()
+    path = str(tmp_path / "annrrkidx")
+    ivfpq_write_index(emb, path, "embedding", "vec_id", cents, books)
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    res = ann_join_topk_indexed(
+        spark, path, emb, queries, "embedding", "qid", "qemb",
+        k=5, candidates=20, nprobe=2,
+    )
+    enc = ivfpq_encode(
+        emb, "embedding", cents, books, cell_col="cell", keep=["vec_id"]
+    )
+    fly = ann_join_topk(
+        emb, enc, queries, cents, books, "embedding", "vec_id",
+        "qid", "qemb", k=5, candidates=20, nprobe=2, cell_col="cell",
+    )
+    key = lambda t: (t[0], t[3])  # noqa: E731
+    assert sorted(
+        [(r["query_id"], r["vec_id"], r["sim"], r["rank"]) for r in res.collect()],
+        key=key,
+    ) == sorted(
+        [(r["query_id"], r["vec_id"], r["sim"], r["rank"]) for r in fly.collect()],
+        key=key,
+    )
+    # every query's rank-1 is itself at sim 1.0 (queries drawn from corpus)
+    top1 = {r["query_id"]: (r["vec_id"], r["sim"]) for r in res.collect() if r["rank"] == 1}
+    assert all(v == (q, 1.0) for q, v in top1.items())
