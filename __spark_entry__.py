@@ -1270,8 +1270,16 @@ def _stream_daily_buckets(
     # replicate the baseline per day: the broadcast side is the GLOBAL
     # bucket histogram — bounded by the sketch's bucket count (~hundreds
     # of rows, independent of input size), so the nested-loop replication
-    # is a scan of |days| x |buckets|, never an input-row blowup
-    days = src.select(F.to_date("ts").alias("day")).distinct()
+    # is a scan of |days| x |buckets|, never an input-row blowup.
+    # Days come from the NULL/NaN-FILTERED frame — the histograms (live
+    # and baseline) and the DuckDB oracle all drop null/NaN values, so an
+    # all-null day must not appear in the grid either (it would emit an
+    # n_b=0 NaN row the oracle doesn't have)
+    days = (
+        src.where(F.col("v").isNotNull() & ~F.isnan("v"))
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+    )
     baseline = days.crossJoin(
         F.broadcast(
             histogram_rows(src, spec, "v").select("__zone", "__key", "__cnt")

@@ -41,8 +41,8 @@ def _box_noise() -> dict:
             "cpu_busy_frac": round(busy, 3),
             "box_loud": bool(busy > 0.20 or load1 > 0.25 * ncpu),
         }
-    except OSError:  # non-procfs platform: report nothing, never fail
-        return {}
+    except Exception:  # best-effort probe (no getloadavg, malformed
+        return {}      # /proc/stat, ...): report nothing, never fail
 
 
 def main() -> None:

@@ -231,11 +231,14 @@ def _batch_word_gram_hashes(
     emitted in document order.
 
     Two-level rolling hash, all O(total bytes + total words):
-      1. word hash = murmur-finalized polynomial over the word's bytes,
-         computed for ALL words at once from ONE prefix pass: with
-         G = cumsum(byte[i] * p^i) over the flat buffer, the segment sum
-         (G[end] - G[start-1]) * p^-start localizes each word's polynomial
-         (p is the odd FNV prime, so p^-1 exists mod 2^64).
+      1. word hash = murmur-finalized polynomial over the word's bytes
+         PLUS ONE (raw bytes would give trailing NUL bytes zero weight:
+         'a\\x00' would hash equal to 'a', a deterministic collision
+         between words F.split treats as distinct), computed for ALL
+         words at once from ONE prefix pass: with
+         G = cumsum((byte[i]+1) * p^i) over the flat buffer, the segment
+         sum (G[end] - G[start-1]) * p^-start localizes each word's
+         polynomial (p is the odd FNV prime, so p^-1 exists mod 2^64).
       2. gram hash = murmur-finalized polynomial over the n word hashes,
          via n strided gathers (the _batch_window_hashes shape) with
          windows crossing document boundaries excluded by construction.
@@ -284,7 +287,7 @@ def _batch_word_gram_hashes(
                     np.full(total - 1, _GRAM_P_INV, dtype=np.uint64),
                     out=piw[1:],
                 )
-                G = np.cumsum(flat.astype(np.uint64) * pw)
+                G = np.cumsum((flat.astype(np.uint64) + np.uint64(1)) * pw)
                 before = np.where(
                     wstart > 0, G[wstart - 1], np.uint64(0)
                 )
@@ -1522,19 +1525,25 @@ def duplicate_spans(
     ``grams="hashed"`` goes further: gram construction itself runs in the
     Arrow rolling-hash kernels (per-core Python worker processes — no
     shared-JVM-heap gram allocation, the measured 0.43 GC-bandwidth
-    ceiling of the string mode), the per-(doc, span) pre-rollup happens
-    inside the kernel batch, and only 8-byte FNV-murmur hashes (NOT
-    xxhash64 — span keys are opaque either way) ever reach the JVM.
-    Implies hashed span keys, so it requires ``keep_span=False``; parity
-    with the string mode is pytest-pinned and driver-gated."""
+    ceiling of the string mode), the per-(doc, span) pre-rollup starts
+    inside the kernel batch (a per-INPUT-ROW rollup, finished by the same
+    (span, id) aggregation the string mode runs so documents split across
+    rows or repeated ids stay one document — parity with the string
+    engine, not just with unique-id corpora), and only 8-byte FNV-murmur
+    hashes (NOT xxhash64 — span keys are opaque either way) ever reach
+    the JVM. Implies hashed span keys, so it requires ``keep_span=False``;
+    parity with the string mode is pytest-pinned and driver-gated."""
     if grams == "hashed":
         if keep_span:
             raise ValueError(
                 "grams='hashed' cannot keep span text; pass keep_span=False"
             )
-        per_doc = _hashed_gram_rows(
-            df, text_col, id_col, n, with_counts=True
-        ).select(F.col("__ng").alias("span"), F.col(id_col), F.col("__occ"))
+        per_doc = (
+            _hashed_gram_rows(df, text_col, id_col, n, with_counts=True)
+            .select(F.col("__ng").alias("span"), F.col(id_col), F.col("__occ"))
+            .groupBy("span", id_col)
+            .agg(F.sum("__occ").alias("__occ"))
+        )
     elif grams == "string":
         span: F.Column = F.explode(word_ngrams(text_col, n)).alias("span")
         gram_rows = df.select(F.col(id_col), span)

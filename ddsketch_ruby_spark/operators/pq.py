@@ -471,6 +471,68 @@ def ivfpq_write_index(
     ).write.mode("overwrite").text(f"{path}/model.json")
 
 
+def _read_index_meta(spark, path: str) -> tuple:
+    """model.json of an ivfpq_write_index layout -> (id_col, centroids,
+    codebooks) — one bounded driver-side read of the one-line text file."""
+    import json
+
+    meta = json.loads(
+        spark.read.text(f"{path}/model.json").collect()[0].value
+    )
+    return (
+        meta["id_col"],
+        np.asarray(meta["centroids"], dtype=np.float64),
+        np.asarray(meta["codebooks"], dtype=np.float64),
+    )
+
+
+def _adc_score(codebooks: np.ndarray, code_col: str):
+    """ADC score column: m lookups into the broadcast __lut row, summed in
+    subspace order (the ordered fold — bit-identical doubles to the
+    per-query ivfpq_topk path)."""
+    m, ksz, _ = codebooks.shape
+    score = F.lit(0.0)
+    for s in range(m):
+        score = score + F.element_at(
+            F.col("__lut"), s * ksz + F.col(code_col)[s] + 1
+        )
+    return score
+
+
+def _exact_rerank(
+    df: DataFrame,
+    cand: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int,
+    round_to: int,
+) -> DataFrame:
+    """Exact-cosine rerank of a bounded (query_id, id) candidate relation
+    against the ORIGINAL vectors: ONE broadcast hash join restricts ``df``
+    to candidate rows, so the candidate stage is computed once and the
+    corpus scanned once (a distinct-id semi-join precursor would re-execute
+    the entire candidate plan a second time for its build side); norms are
+    computed post-join on survivors only. Scoring reuses the gated
+    batch-join path (_score_and_rank: left-fold dot / (__vn * __qn),
+    per-query window). Returns (query_id, id, sim, rank)."""
+    from .similarity import _score_and_rank, _sqnorm_col
+
+    pairs = (
+        F.broadcast(cand)
+        .join(df.select(F.col(id_col), F.col(vec_col)), id_col)
+        .withColumn("__vn", _sqnorm_col(vec_col))
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+    ).withColumn("__qn", _sqnorm_col("__qv"))
+    joined = pairs.join(F.broadcast(qv), "query_id")
+    return _score_and_rank(joined, vec_col, id_col, k, round_to)
+
+
 def ann_topk(
     df: DataFrame,
     vec_col: str,
@@ -512,20 +574,14 @@ def ann_topk(
     path's recall is >= plain ADC top-k recall (pytest-pinned) and sits
     under its own planted-recall driver gate. ``rerank=False`` returns
     the raw ADC top-k (pq_dist ascending) unchanged."""
-    import json
-
     if index_path is not None:
         spark = df.sparkSession
-        meta = json.loads(
-            spark.read.text(f"{index_path}/model.json").collect()[0].value
-        )
-        centroids = np.asarray(meta["centroids"], dtype=np.float64)
-        codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
+        stored_id, centroids, codebooks = _read_index_meta(spark, index_path)
         encoded = spark.read.parquet(f"{index_path}/codes")
         cell_col, code_col = "cell", "pq_code"
-        if meta["id_col"] != id_col:
+        if stored_id != id_col:
             raise ValueError(
-                f"index at {index_path} stores id_col={meta['id_col']!r}, "
+                f"index at {index_path} stores id_col={stored_id!r}, "
                 f"got {id_col!r}"
             )
     if encoded is None or centroids is None or codebooks is None:
@@ -620,19 +676,14 @@ def ivfpq_ann_join(
     per-query window ranks the survivors. The corpus side reads ONLY
     (id, cell, codes) — ~12 B/row — and is scanned once for all queries.
     Returns (query_id, id, pq_dist, rank) ascending per query."""
-    m, ksz, _ = codebooks.shape
     rows, schema = _ivfpq_probe_frame(
         queries, query_id_col, query_vec_col, centroids, codebooks, nprobe
     )
     spark = encoded.sparkSession
     probes = F.broadcast(spark.createDataFrame(rows, schema))
     cand = encoded.join(probes, F.col(cell_col) == F.col("__cell"))
-    score = F.lit(0.0)
-    for s in range(m):
-        score = score + F.element_at(
-            F.col("__lut"), s * ksz + F.col(code_col)[s] + 1
-        )
-    return _adc_rank(cand, id_col, score, k, round_to)
+    return _adc_rank(cand, id_col, _adc_score(codebooks, code_col), k,
+                     round_to)
 
 
 def _adc_rank(cand, id_col: str, score, k: int, round_to: int):
@@ -665,20 +716,19 @@ def ivfpq_ann_join_indexed(
     k: int = 10,
     nprobe: int = 4,
     round_to: int = 6,
+    _meta: tuple | None = None,
 ) -> DataFrame:
     """Batch ADC ANN against a PERSISTED IVF-PQ index (ivfpq_write_index):
     reads only the UNION of the queries' probe cells via a literal
     partition filter (static pruning needs a literal — the
     ivf_ann_join_indexed precedent; the probed-cell union is bounded by
-    n_cells). Scoring and ranking are identical to ivfpq_ann_join."""
-    import json
-
-    meta = json.loads(
-        spark.read.text(f"{path}/model.json").collect()[0].value
+    n_cells). Scoring and ranking are identical to ivfpq_ann_join.
+    ``_meta`` lets a composing caller (ann_join_topk_indexed) pass the
+    already-read (id_col, centroids, codebooks) instead of re-reading
+    model.json."""
+    id_col, centroids, codebooks = (
+        _meta if _meta is not None else _read_index_meta(spark, path)
     )
-    centroids = np.asarray(meta["centroids"], dtype=np.float64)
-    codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
-    m, ksz, _ = codebooks.shape
     rows, schema = _ivfpq_probe_frame(
         queries, query_id_col, query_vec_col, centroids, codebooks, nprobe
     )
@@ -688,13 +738,8 @@ def ivfpq_ann_join_indexed(
         F.col("cell").isin(cells)
     )
     cand = codes.join(probes, F.col("cell") == F.col("__cell"))
-    id_col = meta["id_col"]
-    score = F.lit(0.0)
-    for s in range(m):
-        score = score + F.element_at(
-            F.col("__lut"), s * ksz + F.col("pq_code")[s] + 1
-        )
-    return _adc_rank(cand, id_col, score, k, round_to)
+    return _adc_rank(cand, id_col, _adc_score(codebooks, "pq_code"), k,
+                     round_to)
 
 
 def ann_join_topk(
@@ -723,32 +768,18 @@ def ann_join_topk(
     pipeline is a drop-in for the uncompressed batch joins.
 
     Scale shape: the corpus' vector column is touched for at most
-    |queries| x candidates distinct ids (broadcast-bounded); everything
-    upstream moves ~12 B code rows. The exact rerank joins the bounded
-    candidate pair set (query_id, id) back to vectors and queries —
-    both joins broadcast the small side."""
-    from .similarity import _score_and_rank, _sqnorm_col
-
+    |queries| x candidates rows (the broadcast candidate relation bounds
+    the join output); everything upstream moves ~12 B code rows, the
+    candidate stage is computed ONCE, and the corpus is scanned once
+    (_exact_rerank)."""
     cand = ivfpq_ann_join(
         encoded, queries, centroids, codebooks, id_col,
         query_id_col, query_vec_col,
         k=candidates, nprobe=nprobe, cell_col=cell_col, code_col=code_col,
         round_to=round_to,
     ).select("query_id", id_col)
-    vecs = df.join(
-        F.broadcast(cand.select(id_col).distinct()), id_col, "left_semi"
-    ).select(F.col(id_col), F.col(vec_col)).withColumn(
-        "__vn", _sqnorm_col(vec_col)
-    )
-    pairs = F.broadcast(cand).join(vecs, id_col)
-    qv = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("__qv"),
-    ).withColumn("__qn", _sqnorm_col("__qv"))
-    joined = pairs.join(F.broadcast(qv), "query_id")
-    # the exact rerank reuses the gated batch-join scoring path
-    # (_score_and_rank: left-fold dot / (__vn * __qn), per-query window)
-    return _score_and_rank(joined, vec_col, id_col, k, round_to)
+    return _exact_rerank(df, cand, queries, vec_col, id_col,
+                         query_id_col, query_vec_col, k, round_to)
 
 
 def ann_join_topk_indexed(
@@ -769,31 +800,16 @@ def ann_join_topk_indexed(
     probed-cell union), the exact rerank reads only the survivors'
     vectors from ``df`` — the repeated-workload composition where neither
     the index build nor the full vector column is touched per query
-    batch. Returns (query_id, id, sim, rank)."""
-    import json
-
-    from .similarity import _score_and_rank, _sqnorm_col
-
-    meta = json.loads(
-        spark.read.text(f"{path}/model.json").collect()[0].value
-    )
-    id_col = meta["id_col"]
+    batch. model.json is read once and threaded through. Returns
+    (query_id, id, sim, rank)."""
+    meta = _read_index_meta(spark, path)
+    id_col = meta[0]
     cand = ivfpq_ann_join_indexed(
         spark, path, queries, query_id_col, query_vec_col,
-        k=candidates, nprobe=nprobe, round_to=round_to,
+        k=candidates, nprobe=nprobe, round_to=round_to, _meta=meta,
     ).select("query_id", id_col)
-    vecs = df.join(
-        F.broadcast(cand.select(id_col).distinct()), id_col, "left_semi"
-    ).select(F.col(id_col), F.col(vec_col)).withColumn(
-        "__vn", _sqnorm_col(vec_col)
-    )
-    pairs = F.broadcast(cand).join(vecs, id_col)
-    qv = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("__qv"),
-    ).withColumn("__qn", _sqnorm_col("__qv"))
-    joined = pairs.join(F.broadcast(qv), "query_id")
-    return _score_and_rank(joined, vec_col, id_col, k, round_to)
+    return _exact_rerank(df, cand, queries, vec_col, id_col,
+                         query_id_col, query_vec_col, k, round_to)
 
 
 def ivfpq_topk_indexed(
@@ -808,19 +824,13 @@ def ivfpq_topk_indexed(
     PARTITION column (verify with .explain -> 'PartitionFilters:
     [cell IN ...]'), so non-probed cells are never read, and the read
     rows are (id, codes) only. Scoring is identical to ivfpq_topk."""
-    import json
-
-    meta = json.loads(
-        spark.read.text(f"{path}/model.json").collect()[0].value
-    )
-    centroids = np.asarray(meta["centroids"], dtype=np.float64)
-    codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
+    stored_id, centroids, codebooks = _read_index_meta(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
     return ivfpq_topk(
         codes,
         centroids,
         codebooks,
-        meta["id_col"],
+        stored_id,
         query,
         k=k,
         nprobe=nprobe,

@@ -48,9 +48,13 @@ def _rows_multiset(cols, rows):
 def main() -> int:
     args = sys.argv[1:]
     json_out = None
-    if args and args[0] == "--json":
-        json_out = args[1]
-        args = args[2:]
+    if "--json" in args:  # accepted anywhere, must have an operand
+        i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: check_oracles.py [--json OUT] [sf_dir] [query ...]")
+            return 2
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     records: dict[str, dict] = {}

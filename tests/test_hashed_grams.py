@@ -69,6 +69,19 @@ def test_kernel_edge_inputs():
         _batch_word_gram_hashes(["a b c"], 0)
 
 
+def test_kernel_trailing_nul_words_distinct():
+    # the word polynomial runs over (byte+1): a raw-byte polynomial gives
+    # trailing NUL bytes zero weight, hashing 'a\x00' equal to 'a' — a
+    # DETERMINISTIC collision between words F.split treats as distinct
+    gh_nul, _, _ = _batch_word_gram_hashes(["a\x00 b"], 1)
+    gh_raw, _, _ = _batch_word_gram_hashes(["a b"], 1)
+    assert int(gh_nul[0]) != int(gh_raw[0])  # 'a\x00' != 'a'
+    assert int(gh_nul[1]) == int(gh_raw[1])  # shared word 'b' still equal
+    g2_nul, _, _ = _batch_word_gram_hashes(["a\x00 b"], 2)
+    g2_raw, _, _ = _batch_word_gram_hashes(["a b"], 2)
+    assert int(g2_nul[0]) != int(g2_raw[0])  # and the grams differ too
+
+
 def test_distinct_counts_per_doc():
     gh, doc_of, nd = _batch_word_gram_hashes(
         ["a b c a b c a b c", "", "x y z"], 3
@@ -142,6 +155,46 @@ def test_duplicate_spans_hashed_parity(spark):
         duplicate_spans(docs, "text", "doc_id", grams="hashed")  # keep_span=True
     with pytest.raises(ValueError):
         duplicate_spans(docs, "text", "doc_id", grams="sketchy")
+
+
+def test_duplicate_spans_hashed_multirow_docs(spark):
+    # a doc_id split across TWO df rows counts as ONE document in n_docs:
+    # the kernel's pre-rollup is per input ROW, so the hashed path must
+    # finish it with the same (span, id) aggregation the string engine
+    # runs — without it, "x y z" below would report n_docs=3, passing
+    # min_docs thresholds the string engine (correctly) applies per doc
+    rows = [
+        (1, "x y z tail one"),
+        (1, "x y z tail two"),  # same doc id, second row
+        (2, "x y z other text"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).repartition(3)
+    n = 3
+    string_rows = duplicate_spans(
+        docs, "text", "doc_id", n=n, min_docs=2
+    ).collect()
+    hashed_rows = duplicate_spans(
+        docs, "text", "doc_id", n=n, min_docs=2,
+        keep_span=False, grams="hashed",
+    ).collect()
+    spans = [r["span"] for r in string_rows]
+    gh, _, _ = _batch_word_gram_hashes(spans, n)
+    want = {
+        int(np.int64(np.uint64(h))): (
+            r["n_docs"], r["n_occurrences"], r["first_id"]
+        )
+        for h, r in zip(gh, string_rows)
+    }
+    got = {
+        r["span"]: (r["n_docs"], r["n_occurrences"], r["first_id"])
+        for r in hashed_rows
+    }
+    assert got == want
+    assert want[int(np.int64(np.uint64(gh[spans.index("x y z")])))] == (
+        2, 3, 1
+    )
 
 
 def test_hashed_gram_rows_plan_is_thin(spark):
