@@ -10,6 +10,8 @@ realistic gram sample."""
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 import ddsketch_ruby_spark.operators.dedup as dd
@@ -67,6 +69,31 @@ def test_kernel_edge_inputs():
         assert nd == len(texts) and len(gh) == 0 and len(doc_of) == 0
     with pytest.raises(ValueError):
         _batch_word_gram_hashes(["a b c"], 0)
+
+
+# adversarial alphabet: the 0x20 separator, NUL (zero byte — weightless
+# under a raw-byte polynomial), tab/newline (stay INSIDE words), a
+# multibyte codepoint, and lookalike ascii
+_GRAM_ALPHABET = st.sampled_from(list(" \x00\t\nabé"))
+_GRAM_DOCS = st.lists(
+    st.text(alphabet=_GRAM_ALPHABET, max_size=24), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(texts=_GRAM_DOCS, n=st.integers(min_value=1, max_value=4))
+def test_kernel_string_parity_fuzz(texts, n):
+    # equal string grams <-> equal hashes on arbitrary adversarial docs;
+    # distinct grams never collide on a sample this small (2^-64/pair)
+    gh, doc_of, nd = _batch_word_gram_hashes(texts, n)
+    assert nd == len(texts)
+    counts = np.bincount(doc_of, minlength=nd).tolist()
+    assert counts == [len(_str_grams(t, n)) for t in texts]
+    seen: dict[str, int] = {}
+    for di, t in enumerate(texts):
+        for g, h in zip(_str_grams(t, n), gh[doc_of == di]):
+            assert seen.setdefault(g, int(h)) == int(h)
+    assert len(set(seen.values())) == len(seen)
 
 
 def test_kernel_trailing_nul_words_distinct():
