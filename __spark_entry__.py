@@ -476,7 +476,11 @@ def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     ]
-    enc = ivfpq_encode(emb, "embedding", cents, books)
+    # ivfpq_topk filters the encode frame once PER PROBED CELL: checkpoint
+    # lazily so the Arrow encode kernel runs once, not n_cells times
+    enc = ivfpq_encode(emb, "embedding", cents, books).localCheckpoint(
+        eager=False
+    )
     return ivfpq_topk(
         enc, cents, books, "vec_id", query, k=10, nprobe=_IVFPQ_CELLS
     )
@@ -2496,7 +2500,12 @@ def _q_ivfpq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _tables(spark, sf_dir, "embeddings")
     cents = ivf_train(emb, "embedding", n_cells=8, seed=42)
     books = pq_train(emb, "embedding", dim=64, m=8, codebook_size=16, seed=42)
-    enc = ivfpq_encode(emb, "embedding", cents, books, keep=["vec_id"])
+    # each per-query ivfpq_topk filters this frame once per probed cell
+    # (nprobe=8) and ~n/97 query plans union below: without a checkpoint
+    # the uncached Arrow encode would re-run ~8x|queries| times
+    enc = ivfpq_encode(
+        emb, "embedding", cents, books, keep=["vec_id"]
+    ).localCheckpoint(eager=False)
     qrows = (
         emb.filter(F.col("vec_id") % 97 == 0)
         .select("vec_id", "embedding")
@@ -2540,7 +2549,12 @@ def _q_ann_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _tables(spark, sf_dir, "embeddings")
     cents = ivf_train(emb, "embedding", n_cells=8, seed=42)
     books = pq_train(emb, "embedding", dim=64, m=8, codebook_size=16, seed=42)
-    enc = ivfpq_encode(emb, "embedding", cents, books, keep=["vec_id"])
+    # ann_topk's candidate stage filters this frame once per probed cell
+    # for each planted query: checkpoint lazily so the Arrow encode runs
+    # once, not ~nprobe x |queries| times
+    enc = ivfpq_encode(
+        emb, "embedding", cents, books, keep=["vec_id"]
+    ).localCheckpoint(eager=False)
 
     def topk(query_vec):
         return ann_topk(

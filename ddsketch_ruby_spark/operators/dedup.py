@@ -178,7 +178,7 @@ def _batch_window_hashes(
 
 
 def _batch_distinct_per_doc(
-    hv: np.ndarray, doc_of: np.ndarray
+    hv: np.ndarray, doc_of: np.ndarray, ndocs: int | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Distinct (doc, hash) rows from _batch_window_hashes output, sorted
     by (doc, hash) — set semantics for Jaccard/SimHash.
@@ -191,18 +191,42 @@ def _batch_distinct_per_doc(
     arrays is memory-bandwidth-bound and ~15x slower than many small
     sorts that never leave L2. The per-doc Python overhead is ~3 us/doc,
     two orders of magnitude below the sort work it replaces."""
-    if len(hv) == 0:
-        return hv, doc_of
-    n = int(doc_of[-1]) + 1
-    cnt = np.bincount(doc_of, minlength=n)
-    bounds = np.concatenate([[0], np.cumsum(cnt)])
-    outs = [np.unique(hv[bounds[i] : bounds[i + 1]]) for i in range(n)]
-    hs = np.concatenate(outs)
-    ds = np.repeat(
-        np.arange(n, dtype=np.int64),
-        np.fromiter((len(o) for o in outs), np.int64, n),
-    )
+    hs, ds, _ = _per_doc_unique(hv, doc_of, ndocs, with_counts=False)
     return hs, ds
+
+
+def _per_doc_unique(
+    hv: np.ndarray,
+    doc_of: np.ndarray,
+    ndocs: int | None,
+    with_counts: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Shared slicing core for the per-doc distinct reducers (see the
+    _batch_distinct_per_doc docstring for why per-doc np.unique beats a
+    global lexsort). ``counts`` is None unless ``with_counts``."""
+    if ndocs is None:
+        ndocs = int(doc_of[-1]) + 1 if len(doc_of) else 0
+    if len(hv) == 0:
+        empty = np.zeros(0, dtype=np.int64) if with_counts else None
+        return hv, doc_of, empty
+    cnt = np.bincount(doc_of, minlength=ndocs)
+    bounds = np.concatenate([[0], np.cumsum(cnt)])
+    hs_l, cs_l = [], []
+    for i in range(ndocs):
+        sl = hv[bounds[i] : bounds[i + 1]]
+        if with_counts:
+            u, c = np.unique(sl, return_counts=True)
+            cs_l.append(c)
+        else:
+            u = np.unique(sl)
+        hs_l.append(u)
+    hs = np.concatenate(hs_l)
+    ds = np.repeat(
+        np.arange(ndocs, dtype=np.int64),
+        np.fromiter((len(o) for o in hs_l), np.int64, ndocs),
+    )
+    cs = np.concatenate(cs_l).astype(np.int64) if with_counts else None
+    return hs, ds, cs
 
 
 # FNV-64 prime: odd, so invertible mod 2^64 — the prefix-product word
@@ -326,21 +350,8 @@ def _batch_distinct_counts_per_doc(
     the with-occurrence-counts twin of _batch_distinct_per_doc, on the
     same per-doc cache-resident np.unique slices (the global-lexsort
     alternative is measured ~15x slower; see BENCH/kernel_vectorization)."""
-    if len(hv) == 0:
-        return hv, doc_of, np.zeros(0, dtype=np.int64)
-    cnt = np.bincount(doc_of, minlength=ndocs)
-    bounds = np.concatenate([[0], np.cumsum(cnt)])
-    hs_l, cs_l = [], []
-    for i in range(ndocs):
-        u, c = np.unique(hv[bounds[i] : bounds[i + 1]], return_counts=True)
-        hs_l.append(u)
-        cs_l.append(c)
-    hs = np.concatenate(hs_l)
-    ds = np.repeat(
-        np.arange(ndocs, dtype=np.int64),
-        np.fromiter((len(o) for o in hs_l), np.int64, ndocs),
-    )
-    return hs, ds, np.concatenate(cs_l).astype(np.int64)
+    hs, ds, cs = _per_doc_unique(hv, doc_of, ndocs, with_counts=True)
+    return hs, ds, cs
 
 
 def _hashed_gram_rows(

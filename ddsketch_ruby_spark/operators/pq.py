@@ -406,7 +406,13 @@ def ivfpq_topk(
     than sharing one expression). Only (id, cell, code) columns are read;
     with a cell-partitioned index the non-probed cells are pruned at
     planning time. nprobe = len(centroids) is exhaustive — exact ADC
-    ranking over the whole index (the driver-gate mode)."""
+    ranking over the whole index (the driver-gate mode).
+
+    The per-cell frames each re-reference ``encoded``: a persisted index
+    (ivfpq_topk_indexed) turns that into nprobe pruned reads, but an
+    in-memory ivfpq_encode plan would re-run the encode kernel once per
+    probed cell — localCheckpoint/persist it first (the driver gates'
+    pattern)."""
     from .similarity import _probe_cells
 
     m = codebooks.shape[0]

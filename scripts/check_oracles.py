@@ -105,9 +105,20 @@ def main() -> int:
                 "oracle_rows": None, "err": None,
             }
             continue
-        res = con.execute(oracles[name])
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as exc:  # record, keep replaying the rest
+            failures += 1
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": f"oracle {type(exc).__name__}: {exc}",
+            }
+            print(f"{name}: ORACLE ERROR {type(exc).__name__}: {exc}")
+            continue
         s_ms, s_cols = _rows_multiset(scols, [tuple(r) for r in srows])
         d_ms, d_cols = _rows_multiset(dcols, drows)
         ok_schema = s_cols == d_cols

@@ -34,6 +34,13 @@ TRICKY_DOCS = [
 ]
 
 
+def _i64(h) -> int:
+    # bit-reinterpret uint64 -> int64, same as the kernel's .view(np.int64);
+    # int(np.int64(np.uint64(h))) wraps on numpy 1.x but raises
+    # OverflowError on numpy >= 2 for hashes with the top bit set
+    return int(np.uint64(h).view(np.int64))
+
+
 def _str_grams(text: str, n: int) -> list[str]:
     ws = [w for w in text.split(" ") if w]
     return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
@@ -170,7 +177,7 @@ def test_duplicate_spans_hashed_parity(spark):
     gh, doc_of, _ = _batch_word_gram_hashes(spans, n)
     assert len(gh) == len(spans)
     want = {
-        int(np.int64(np.uint64(h))): (r["n_docs"], r["n_occurrences"], r["first_id"])
+        _i64(h): (r["n_docs"], r["n_occurrences"], r["first_id"])
         for h, r in zip(gh, string_rows)
     }
     got = {
@@ -209,7 +216,7 @@ def test_duplicate_spans_hashed_multirow_docs(spark):
     spans = [r["span"] for r in string_rows]
     gh, _, _ = _batch_word_gram_hashes(spans, n)
     want = {
-        int(np.int64(np.uint64(h))): (
+        _i64(h): (
             r["n_docs"], r["n_occurrences"], r["first_id"]
         )
         for h, r in zip(gh, string_rows)
@@ -219,7 +226,7 @@ def test_duplicate_spans_hashed_multirow_docs(spark):
         for r in hashed_rows
     }
     assert got == want
-    assert want[int(np.int64(np.uint64(gh[spans.index("x y z")])))] == (
+    assert want[_i64(gh[spans.index("x y z")])] == (
         2, 3, 1
     )
 

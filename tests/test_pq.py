@@ -464,7 +464,6 @@ def test_ivfpq_ann_join_indexed_prunes_and_matches_fly(spark, emb, tmp_path):
         enc, queries, cents, books, "vec_id", "qid", "qemb",
         k=5, nprobe=2, cell_col="cell",
     )
-    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
     assert sorted(
         [(r["query_id"], r["vec_id"], r["pq_dist"], r["rank"]) for r in res.collect()],
         key=lambda t: (t[0], t[3]),
