@@ -211,15 +211,17 @@ def _per_doc_unique(
         return hv, doc_of, empty
     cnt = np.bincount(doc_of, minlength=ndocs)
     bounds = np.concatenate([[0], np.cumsum(cnt)])
-    hs_l, cs_l = [], []
-    for i in range(ndocs):
-        sl = hv[bounds[i] : bounds[i + 1]]
-        if with_counts:
-            u, c = np.unique(sl, return_counts=True)
+    cs_l: list[np.ndarray] = []
+    if with_counts:
+        hs_l = []
+        for i in range(ndocs):
+            u, c = np.unique(hv[bounds[i] : bounds[i + 1]], return_counts=True)
+            hs_l.append(u)
             cs_l.append(c)
-        else:
-            u = np.unique(sl)
-        hs_l.append(u)
+    else:
+        # branch-free loop: this is the measured hot shape (~0.3 s for 7M
+        # windows; see the _batch_distinct_per_doc docstring)
+        hs_l = [np.unique(hv[bounds[i] : bounds[i + 1]]) for i in range(ndocs)]
     hs = np.concatenate(hs_l)
     ds = np.repeat(
         np.arange(ndocs, dtype=np.int64),
