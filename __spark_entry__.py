@@ -1631,6 +1631,99 @@ FROM documents
 """
 
 
+# html construction fragments shared by the Spark query and the oracle:
+# title carries the doc_id, the script body carries tag-like strings and
+# a comment opener (raw-text rule must win), the comment carries tags
+# (must vanish), the body carries the entity-escaped corpus text.
+_HTML_PRE_TITLE = '<!DOCTYPE html><html lang="'
+_HTML_POST_LANG = '"><head><title>'
+_HTML_POST_TITLE = (
+    "</title><style type=\"text/css\">body { margin: 0; }</style>"
+    '<script>var u = "</b>"; if (1 < 2) { f("<!--"); }</script>'
+    '</head><!-- hidden <b>tags</b> --><body class="doc"><p id="p'
+)
+_HTML_POST_ID = '">'
+_HTML_SUFFIX = "</p></body></html>"
+
+
+def _q_extract_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction under the hard gate (the north rule's
+    'byte-identical extracted text per url' invariant as an operator,
+    not just a fixture property). Each document's text is entity-escaped
+    and wrapped in a full adversarial page — title text, style+script
+    raw-text blocks containing tag-like strings and a comment opener, an
+    HTML comment containing tags, attributes on every element — encoded
+    to binary, then html_to_text must recover title+body byte-exactly.
+    The oracle replays the build AND the extraction in DuckDB (RE2
+    engine vs Java regex — independent regex engines agreeing on the
+    documented common subset), asserting roundtrip_ok on all 500 rows."""
+    from ddsketch_ruby_spark.functions.html import html_to_text
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    html = F.encode(
+        F.concat(
+            F.lit(_HTML_PRE_TITLE),
+            F.col("lang"),
+            F.lit(_HTML_POST_LANG),
+            did,
+            F.lit(_HTML_POST_TITLE),
+            did,
+            F.lit(_HTML_POST_ID),
+            esc,
+            F.lit(_HTML_SUFFIX),
+        ),
+        "UTF-8",
+    )
+    extracted = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        extracted.alias("extracted_text"),
+        F.length(extracted).cast("long").alias("n_extracted"),
+        (extracted == F.concat(did, F.col("text"))).alias("roundtrip_ok"),
+    )
+
+
+def _extract_text_oracle_sql() -> str:
+    from ddsketch_ruby_spark.functions.html import html_to_text_sql
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    build = (
+        f"encode({q(_HTML_PRE_TITLE)} || lang || {q(_HTML_POST_LANG)}"
+        f" || CAST(doc_id AS VARCHAR) || {q(_HTML_POST_TITLE)}"
+        f" || CAST(doc_id AS VARCHAR) || {q(_HTML_POST_ID)}"
+        " || replace(replace(replace(text, '&', '&amp;'),"
+        " '<', '&lt;'), '>', '&gt;')"
+        f" || {q(_HTML_SUFFIX)})"
+    )
+    return f"""
+WITH built AS (
+  SELECT doc_id, {build} AS html,
+         CAST(doc_id AS VARCHAR) || text AS expected
+  FROM documents
+),
+ext AS (
+  SELECT doc_id, expected, {html_to_text_sql('html')} AS extracted_text
+  FROM built
+)
+SELECT doc_id, extracted_text,
+       CAST(length(extracted_text) AS BIGINT) AS n_extracted,
+       (extracted_text = expected) AS roundtrip_ok
+FROM ext
+"""
+
+
 def _q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition signals under the hard gate:
     per document the duplicate word 2-gram and 3-gram fractions
@@ -3828,6 +3921,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split_documents": _q_hash_split,
     "mg_heavy_items": _q_mg_heavy_items,
     "normalize_documents": _q_normalize_documents,
+    "extract_text_documents": _q_extract_text_documents,
     "repetition_documents": _q_repetition_documents,
     "ddsketch_drift_events": _q_ddsketch_drift,
     "ddsketch_psi_events": _q_ddsketch_psi,
@@ -3836,14 +3930,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_collapse_documents": _q_dedup_collapse,
     "bpe_token_documents": _q_bpe_tokens,
     "ivf_recall_planted": _q_ivf_recall_planted,
-    "lsh_recall_planted": _q_lsh_recall_planted,
     # ---- driver-gate window boundary (first 50 entries above) ----
     # tail entries: recorded green in >=3 prior rounds, replayed by
     # check_oracles.py AND persisted per-round in CORRECTNESS_SELF_r5.json
     # (ddsketch_bins_events / tdigest / kll — green r01-r04 — and the
     # collapsed high-bins/quantiles pair — green r02-r04 — rotated out in
     # r5 to make room for the hashed-gram, shuffled-decontaminate,
-    # trained-IVF-PQ, and reranked-ANN gates)
+    # trained-IVF-PQ, and reranked-ANN gates; lsh_recall_planted — green
+    # r03-r04 and twin of the windowed lsh_recall_planted_indexed —
+    # rotated out for extract_text_documents)
+    "lsh_recall_planted": _q_lsh_recall_planted,
     "ddsketch_bins_events": _q_ddsketch_bins,
     "ddsketch_daily_value": _q_ddsketch_daily,
     "proto_roundtrip_bins": _q_proto_roundtrip_bins,
@@ -5277,6 +5373,7 @@ ORACLES["mg_heavy_items"] = _mg_oracle_sql()
 ORACLES["stream_kmv_daily"] = _stream_kmv_oracle_sql(k=32)
 ORACLES["pq_topk_embeddings"] = _pq_oracle_sql(k=10)
 ORACLES["normalize_documents"] = _NORMALIZE_ORACLE
+ORACLES["extract_text_documents"] = _extract_text_oracle_sql()
 ORACLES["repetition_documents"] = _repetition_oracle_sql()
 ORACLES["ivfpq_topk_embeddings"] = _ivfpq_oracle_sql(k=10)
 ORACLES["ivfpq_ann_join_exhaustive"] = _ivfpq_ann_join_oracle_sql(k=5)
