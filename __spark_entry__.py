@@ -1724,6 +1724,172 @@ FROM ext
 """
 
 
+def _q_url_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing under the hard gate: each document gets a
+    deterministically adversarial crawl URL — uppercase schemes rotated
+    with a schemeless form, optional userinfo, mixed-case hosts across
+    single- and multi-part public suffixes incl. a trailing-dot variant,
+    default/explicit/absent ports, percent-encoded queries, fragments —
+    then url_host / registrable_domain / url_normalize must produce the
+    grouping keys and canonical form. The oracle replays the build AND
+    all three parses in DuckDB (RE2 vs Java regex — independent
+    engines), hashing 4 derived strings x 500 rows."""
+    from ddsketch_ruby_spark.functions.url import (
+        registrable_domain,
+        url_host,
+        url_normalize,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    scheme = (
+        F.when(did % 3 == 0, F.lit("HTTP://"))
+        .when(did % 3 == 1, F.lit("https://"))
+        .otherwise(F.lit(""))
+    )
+    user = F.when(
+        did % 5 == 0, F.concat(F.lit("User."), F.col("lang"), F.lit("@"))
+    ).otherwise(F.lit(""))
+    suffix = (
+        F.when(did % 4 == 0, F.lit(".Example.CO.UK."))
+        .when(did % 4 == 1, F.lit(".example.com"))
+        .when(did % 4 == 2, F.lit(".Example.ORG.AU"))
+        .otherwise(F.lit(".example-site.net"))
+    )
+    port = (
+        F.when(did % 6 == 0, F.lit(":80"))
+        .when(did % 6 == 1, F.lit(":443"))
+        .when(did % 6 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        scheme,
+        user,
+        F.lit("News-"),
+        (did % 40).cast("string"),
+        F.lit("."),
+        F.col("lang"),
+        suffix,
+        port,
+        F.lit("/Dir/"),
+        ds,
+        F.when(
+            did % 2 == 0, F.concat(F.lit("/Page?q=a%20b&id="), ds)
+        ).otherwise(F.lit("/")),
+        F.lit("#Sec-"),
+        F.col("lang"),
+    )
+    h = url_host(url)
+    return docs.select(
+        "doc_id",
+        url.alias("raw_url"),
+        h.alias("host"),
+        registrable_domain(h).alias("domain"),
+        url_normalize(url).alias("url_norm"),
+    )
+
+
+def _url_normalize_oracle_sql() -> str:
+    from ddsketch_ruby_spark.functions.url import (
+        registrable_domain_sql,
+        url_host_sql,
+        url_normalize_sql,
+    )
+
+    build = (
+        "(CASE doc_id % 3 WHEN 0 THEN 'HTTP://'"
+        " WHEN 1 THEN 'https://' ELSE '' END)"
+        " || (CASE WHEN doc_id % 5 = 0 THEN 'User.' || lang || '@'"
+        " ELSE '' END)"
+        " || 'News-' || CAST(doc_id % 40 AS VARCHAR) || '.' || lang"
+        " || (CASE doc_id % 4 WHEN 0 THEN '.Example.CO.UK.'"
+        " WHEN 1 THEN '.example.com' WHEN 2 THEN '.Example.ORG.AU'"
+        " ELSE '.example-site.net' END)"
+        " || (CASE doc_id % 6 WHEN 0 THEN ':80' WHEN 1 THEN ':443'"
+        " WHEN 2 THEN ':8080' ELSE '' END)"
+        " || '/Dir/' || CAST(doc_id AS VARCHAR)"
+        " || (CASE WHEN doc_id % 2 = 0 THEN"
+        " '/Page?q=a%20b&id=' || CAST(doc_id AS VARCHAR) ELSE '/' END)"
+        " || '#Sec-' || lang"
+    )
+    return f"""
+WITH built AS (
+  SELECT doc_id, {build} AS raw_url FROM documents
+),
+hosted AS (
+  SELECT doc_id, raw_url, {url_host_sql('raw_url')} AS host FROM built
+)
+SELECT doc_id, raw_url, host,
+       {registrable_domain_sql('host')} AS domain,
+       {url_normalize_sql('raw_url')} AS url_norm
+FROM hosted
+"""
+
+
+def _q_redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction under the hard gate: each document's text is
+    prefixed with deterministically varied synthetic PII — an email
+    whose host contains digits and dashes (must redact as ONE email, not
+    leave an IP-shaped tail), an IPv4 literal, an international
+    phone-shaped run with spaces/parens/dashes — and redact_pii must
+    replace exactly those spans with placeholder tokens while leaving
+    the corpus text byte-identical. The oracle replays build + the
+    ordered three-rule redaction in DuckDB (RE2 vs Java regex)."""
+    from ddsketch_ruby_spark.functions.url import redact_pii
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pii = F.concat(
+        F.lit("Reach "),
+        F.col("lang"),
+        F.lit("."),
+        did.cast("string"),
+        F.lit("@Mail-"),
+        (did % 9).cast("string"),
+        F.lit(".Example.org, ip 10."),
+        (did % 256).cast("string"),
+        F.lit(".0."),
+        (did % 100).cast("string"),
+        F.lit(", tel +44 (20) 7"),
+        F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit(" 0"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(". "),
+        F.col("text"),
+    )
+    red = redact_pii(pii)
+    return docs.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.length(red).cast("long").alias("n_redacted"),
+    )
+
+
+def _redact_pii_oracle_sql() -> str:
+    from ddsketch_ruby_spark.functions.url import redact_pii_sql
+
+    build = (
+        "'Reach ' || lang || '.' || CAST(doc_id AS VARCHAR)"
+        " || '@Mail-' || CAST(doc_id % 9 AS VARCHAR)"
+        " || '.Example.org, ip 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
+        " || ', tel +44 (20) 7' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+        " || ' 0' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || '. ' || text"
+    )
+    return f"""
+WITH built AS (
+  SELECT doc_id, {build} AS pii_text FROM documents
+),
+red AS (
+  SELECT doc_id, {redact_pii_sql('pii_text')} AS redacted FROM built
+)
+SELECT doc_id, redacted, CAST(length(redacted) AS BIGINT) AS n_redacted
+FROM red
+"""
+
+
 def _q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition signals under the hard gate:
     per document the duplicate word 2-gram and 3-gram fractions
@@ -3922,14 +4088,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mg_heavy_items": _q_mg_heavy_items,
     "normalize_documents": _q_normalize_documents,
     "extract_text_documents": _q_extract_text_documents,
+    "url_normalize_documents": _q_url_normalize_documents,
+    "redact_pii_documents": _q_redact_pii_documents,
     "repetition_documents": _q_repetition_documents,
     "ddsketch_drift_events": _q_ddsketch_drift,
     "ddsketch_psi_events": _q_ddsketch_psi,
     "sketch_winsorize_events": _q_sketch_winsorize,
     "robust_stats_events": _q_robust_stats,
     "dedup_collapse_documents": _q_dedup_collapse,
-    "bpe_token_documents": _q_bpe_tokens,
-    "ivf_recall_planted": _q_ivf_recall_planted,
     # ---- driver-gate window boundary (first 50 entries above) ----
     # tail entries: recorded green in >=3 prior rounds, replayed by
     # check_oracles.py AND persisted per-round in CORRECTNESS_SELF_r5.json
@@ -3938,7 +4104,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 to make room for the hashed-gram, shuffled-decontaminate,
     # trained-IVF-PQ, and reranked-ANN gates; lsh_recall_planted — green
     # r03-r04 and twin of the windowed lsh_recall_planted_indexed —
-    # rotated out for extract_text_documents)
+    # rotated out for extract_text_documents; bpe_token_documents and
+    # ivf_recall_planted — green r03-r04 + the r5 self-replay, the
+    # planted-recall family keeps three windowed rows — rotated out for
+    # url_normalize_documents and redact_pii_documents)
+    "bpe_token_documents": _q_bpe_tokens,
+    "ivf_recall_planted": _q_ivf_recall_planted,
     "lsh_recall_planted": _q_lsh_recall_planted,
     "ddsketch_bins_events": _q_ddsketch_bins,
     "ddsketch_daily_value": _q_ddsketch_daily,
@@ -5374,6 +5545,8 @@ ORACLES["stream_kmv_daily"] = _stream_kmv_oracle_sql(k=32)
 ORACLES["pq_topk_embeddings"] = _pq_oracle_sql(k=10)
 ORACLES["normalize_documents"] = _NORMALIZE_ORACLE
 ORACLES["extract_text_documents"] = _extract_text_oracle_sql()
+ORACLES["url_normalize_documents"] = _url_normalize_oracle_sql()
+ORACLES["redact_pii_documents"] = _redact_pii_oracle_sql()
 ORACLES["repetition_documents"] = _repetition_oracle_sql()
 ORACLES["ivfpq_topk_embeddings"] = _ivfpq_oracle_sql(k=10)
 ORACLES["ivfpq_ann_join_exhaustive"] = _ivfpq_ann_join_oracle_sql(k=5)
