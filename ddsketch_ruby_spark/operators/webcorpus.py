@@ -1,0 +1,172 @@
+"""One-call web-corpus preparation: the north-star pipeline end to end.
+
+The north star (BASELINE.json) is "q50/q95/q99 of per-document lengths
+and latencies derived from *extracted text*" over a Common-Crawl-shaped
+table ``(url, warc_ts, html, text, lang, ...)`` at 10^12 rows. Every
+stage of that pipeline exists as an individually oracle-gated function
+(html_to_text, url_host/registrable_domain/url_normalize, redact_pii,
+lang_id, token/quality scores, doc_fingerprint, hash_split,
+ddsketch_quantiles_long); this module is the composition a user actually
+runs — one call from the raw crawl frame to the enriched corpus, and one
+more to the per-domain sketch rollup.
+
+Scale shape (the whole point of composing INSIDE one select):
+
+- :func:`prepare_web_corpus` is a single projection over one scan —
+  zero shuffles, zero Python, one WholeStageCodegen span. Derived
+  columns that feed several features (extracted text, host) are bound
+  to real columns first, so Catalyst's CollapseProject keeps each heavy
+  regex chain evaluated ONCE per row (it refuses to inline multi-
+  referenced non-cheap aliases) instead of once per feature.
+- :func:`web_corpus_quantiles` adds the only shuffle in the story —
+  the two-phase sketch aggregation, which moves O(groups x buckets)
+  histogram rows (independent of input size), never text. Host-skewed
+  crawls (one domain = 10% of the web) are safe: phase 1 pre-reduces
+  per partition, so the hot key's phase-2 group receives at most
+  (partitions x buckets) rows, not its raw row count.
+
+Column-name parity with the individually-gated pieces is pinned by
+tests/test_webcorpus.py (bit-exact equality against hand-composition),
+so the per-piece DuckDB oracles transfer to the composed pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ddsketch_ruby_spark.functions.html import html_to_text
+from ddsketch_ruby_spark.functions.text import (
+    bpe_token_estimate,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from ddsketch_ruby_spark.functions.url import (
+    redact_pii,
+    registrable_domain,
+    url_host,
+    url_normalize,
+)
+from ddsketch_ruby_spark.operators.sampling import hash_split
+
+__all__ = ["prepare_web_corpus", "web_corpus_quantiles"]
+
+_DEFAULT_SPLITS = {"train": 0.98, "val": 0.01, "test": 0.01}
+
+
+def prepare_web_corpus(
+    df: DataFrame,
+    *,
+    html_col: str = "html",
+    url_col: str = "url",
+    text_col: str | None = None,
+    redact: bool = True,
+    split_weights: dict[str, float] | None = None,
+    split_seed: int = 0,
+) -> DataFrame:
+    """Enrich a raw crawl frame with every per-document derived column.
+
+    Appends: ``text_extracted`` (from ``html_col`` unless ``text_col``
+    names an already-extracted column), ``host`` / ``domain`` /
+    ``url_norm`` (from ``url_col``), ``text_clean`` (PII-redacted
+    extracted text; equal to ``text_extracted`` when ``redact=False``),
+    ``fingerprint`` (xxhash64 of the extracted text — the per-url
+    byte-identity pin), ``lang_guess``, ``n_tokens``, ``n_bpe_tokens``,
+    ``n_chars``, ``quality``, and ``split`` (frozen hash assignment,
+    default 98/1/1 train/val/test).
+
+    One projection, one scan, no shuffle — compose with
+    :func:`web_corpus_quantiles`, the dedup family, or hash_split-aware
+    writers downstream. Quality/token features are computed on the
+    UNredacted extraction (redaction placeholders would perturb the
+    scores); ``text_clean`` is what ships to training.
+    """
+    extracted: Column = (
+        F.col(text_col) if text_col is not None else html_to_text(html_col)
+    )
+    host = url_host(url_col)
+    # bind multi-referenced heavy chains to real columns: CollapseProject
+    # will NOT inline a non-cheap alias referenced more than once, so
+    # each regex pipeline runs once per row no matter how many features
+    # read it below
+    bound = df.withColumns(
+        {
+            "text_extracted": extracted.alias("text_extracted"),
+            "host": host.alias("host"),
+        }
+    )
+    feats: dict[str, Column] = {
+        "domain": registrable_domain(F.col("host")),
+        "url_norm": url_normalize(url_col),
+        "text_clean": (
+            redact_pii(F.col("text_extracted"))
+            if redact
+            else F.col("text_extracted")
+        ).alias("text_clean"),
+        "fingerprint": doc_fingerprint("text_extracted"),
+        "lang_guess": lang_id("text_extracted"),
+        "n_tokens": token_count("text_extracted"),
+        "n_bpe_tokens": bpe_token_estimate("text_extracted"),
+        "n_chars": F.length("text_extracted").cast("long"),
+        "quality": quality_score("text_extracted"),
+    }
+    out = bound.withColumns(feats)
+    return hash_split(
+        out, url_col, split_weights or dict(_DEFAULT_SPLITS), seed=split_seed
+    )
+
+
+def web_corpus_quantiles(
+    df: DataFrame,
+    *,
+    group_cols: list[str] | None = None,
+    value_cols: tuple[str, ...] = ("n_chars", "latency_ms"),
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    relative_accuracy: float = 0.01,
+    **prepare_kwargs,
+) -> DataFrame:
+    """The north-star rollup in one call: per-domain q50/q95/q99 of
+    per-document lengths (and latencies when present) derived from
+    extracted text.
+
+    ``df`` may be a raw crawl frame (it is passed through
+    :func:`prepare_web_corpus` first) or an already-prepared corpus
+    (detected by the presence of the ``domain`` column). Each value
+    column gets its own mergeable DDSketch aggregation (long format:
+    one row per (group, qname)); results are full-joined on
+    (group keys, qname) — the join sides are tiny (rows = groups x
+    quantiles), far below any broadcast threshold.
+    """
+    if "domain" not in df.columns:
+        df = prepare_web_corpus(df, **prepare_kwargs)
+    from ddsketch_ruby_spark.operators.quantiles import (
+        ddsketch_quantiles_long,
+    )
+
+    keys = group_cols if group_cols is not None else ["domain"]
+    present = [v for v in value_cols if v in df.columns]
+    if not present:
+        raise ValueError(
+            f"none of {value_cols} present in {df.columns}"
+        )
+    out: DataFrame | None = None
+    for v in present:
+        q = ddsketch_quantiles_long(
+            df.filter(F.col(v) > 0),
+            v,
+            keys,
+            quantiles=quantiles,
+            relative_accuracy=relative_accuracy,
+        )
+        renamed = q.select(
+            *keys, "qname", F.col("qvalue").alias(f"{v}_q")
+        )
+        out = (
+            renamed
+            if out is None
+            else out.join(renamed, [*keys, "qname"], "full")
+        )
+    assert out is not None
+    return out

@@ -1,0 +1,180 @@
+"""prepare_web_corpus / web_corpus_quantiles: the one-call north-star
+pipeline — bit-exact parity with the individually-gated pieces, the
+byte-identity invariant on the synthetic crawl table, and the zero-
+shuffle plan shape."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ddsketch_ruby_spark.functions.html import html_to_text
+from ddsketch_ruby_spark.functions.text import (
+    bpe_token_estimate,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from ddsketch_ruby_spark.functions.url import (
+    redact_pii,
+    registrable_domain,
+    url_host,
+    url_normalize,
+)
+from ddsketch_ruby_spark.operators.webcorpus import (
+    prepare_web_corpus,
+    web_corpus_quantiles,
+)
+from ddsketch_ruby_spark.sources.webpages import web_pages
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = web_pages(spark, 800, partitions=4)
+    c = prepare_web_corpus(pages).cache()
+    c.count()
+    yield pages, c
+    c.unpersist()
+
+
+def test_extraction_byte_identity(corpus):
+    """The north-rule pin survives the composed pipeline: extracted
+    text == the table's text column on every row."""
+    _, c = corpus
+    assert c.where(F.col("text_extracted") != F.col("text")).count() == 0
+
+
+def test_parity_with_pieces(corpus):
+    """Every derived column equals the hand-composed gated piece,
+    bit-exactly (so the per-piece DuckDB oracles transfer)."""
+    pages, c = corpus
+    te = html_to_text("html")
+    manual = pages.select(
+        "url",
+        url_host("url").alias("m_host"),
+        registrable_domain(url_host("url")).alias("m_domain"),
+        url_normalize("url").alias("m_url_norm"),
+        te.alias("m_text"),
+        redact_pii(te).alias("m_clean"),
+        F.xxhash64(te).alias("m_fp"),
+    ).withColumns(
+        {
+            "m_lang": lang_id("m_text"),
+            "m_tok": token_count("m_text"),
+            "m_bpe": bpe_token_estimate("m_text"),
+            "m_q": quality_score("m_text"),
+        }
+    )
+    j = c.join(manual, "url")
+    pairs = [
+        ("host", "m_host"),
+        ("domain", "m_domain"),
+        ("url_norm", "m_url_norm"),
+        ("text_extracted", "m_text"),
+        ("text_clean", "m_clean"),
+        ("fingerprint", "m_fp"),
+        ("lang_guess", "m_lang"),
+        ("n_tokens", "m_tok"),
+        ("n_bpe_tokens", "m_bpe"),
+        ("quality", "m_q"),
+    ]
+    bad = j.where(
+        " OR ".join(f"(NOT ({a} <=> {b}))" for a, b in pairs)
+    ).count()
+    assert bad == 0
+
+
+def test_split_assignment(corpus):
+    """Split is total, frozen to hash_split semantics, and roughly
+    follows the 98/1/1 default weights."""
+    _, c = corpus
+    counts = dict(
+        (r.split, r["count"]) for r in c.groupBy("split").count().collect()
+    )
+    assert set(counts) <= {"train", "val", "test"}
+    n = sum(counts.values())
+    assert counts["train"] / n > 0.9
+
+
+def test_n_chars_and_host_nonempty(corpus):
+    _, c = corpus
+    assert c.where(F.length("text_extracted") != F.col("n_chars")).count() == 0
+    assert c.where((F.col("host") == "") | F.col("host").isNull()).count() == 0
+
+
+def test_prepare_plan_zero_shuffle(corpus):
+    """One scan, projections only: no Exchange, no Python eval, and the
+    heavy extraction chain is NOT inlined per feature (it appears as a
+    bound column exactly once in the final project)."""
+    _, c = corpus
+    # rebuild uncached for a clean plan
+    pages = web_pages(c.sparkSession, 100, partitions=2)
+    plan = (
+        prepare_web_corpus(pages)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the raw-text strip regex would appear once per feature if
+    # CollapseProject had inlined the extraction chain
+    assert plan.count("</script") <= 1
+
+
+def test_text_col_passthrough(spark):
+    """text_col= skips extraction and uses the named column."""
+    pages = web_pages(spark, 50, partitions=1)
+    c = prepare_web_corpus(pages, text_col="text")
+    assert c.where(F.col("text_extracted") != F.col("text")).count() == 0
+
+
+def test_redact_false(spark):
+    pages = web_pages(spark, 50, partitions=1)
+    c = prepare_web_corpus(pages, redact=False)
+    assert c.where(F.col("text_clean") != F.col("text_extracted")).count() == 0
+
+
+def test_quantiles_rollup(corpus):
+    """The north-star rollup: per-domain q50/q95/q99 of n_chars and
+    latency_ms, each within the sketch's relative-accuracy bound of the
+    exact per-domain quantile."""
+    _, c = corpus
+    q = web_corpus_quantiles(c).cache()
+    try:
+        rows = q.collect()
+        assert rows
+        # both value columns present, joined on (domain, qname)
+        assert {"domain", "qname", "n_chars_q", "latency_ms_q"} == set(
+            q.columns
+        )
+        by_domain: dict[str, list[int]] = {}
+        for row in c.select("domain", "n_chars").collect():
+            by_domain.setdefault(row.domain, []).append(row.n_chars)
+        for vals in by_domain.values():
+            vals.sort()
+        for r in rows:
+            vals = by_domain[r.domain]
+            p = {"q50": 0.5, "q95": 0.95, "q99": 0.99}[r.qname]
+            want = vals[int(p * (len(vals) - 1))]
+            assert abs(r.n_chars_q - want) <= 0.012 * want + 1e-9, (
+                r.domain,
+                r.qname,
+                r.n_chars_q,
+                want,
+            )
+    finally:
+        q.unpersist()
+
+
+def test_quantiles_accepts_raw_frame(spark):
+    """A raw crawl frame is prepared implicitly."""
+    pages = web_pages(spark, 200, partitions=2)
+    q = web_corpus_quantiles(pages, quantiles=(0.5,))
+    assert q.where(F.col("n_chars_q") <= 0).count() == 0
+
+
+def test_quantiles_missing_values_raise(spark):
+    pages = web_pages(spark, 20, partitions=1)
+    c = prepare_web_corpus(pages)
+    with pytest.raises(ValueError):
+        web_corpus_quantiles(c, value_cols=("nope",))
