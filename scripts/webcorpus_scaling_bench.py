@@ -1,0 +1,170 @@
+"""Scaling-efficiency evidence for the FULL north-star job: the one-call
+web-corpus pipeline (prepare_web_corpus: html extraction + URL keys +
+PII redaction + features + split) feeding the per-domain sketch rollup
+(web_corpus_quantiles) over the deterministic web_pages table at two
+parallelism levels. This is the two-cluster-size criterion applied to
+the composed pipeline rather than a single operator: same input, N vs
+4N cores, throughput at both + efficiency.
+
+Same methodology as scripts/scaling_bench.py / text_scaling_bench.py:
+interleaved levels, best-of per level, clean JVM per run (subprocess
+child), determinism asserted across levels via a value checksum of the
+rollup (XOR of per-row hashes — partitioning-insensitive).
+
+Usage:
+  python scripts/webcorpus_scaling_bench.py            # full report
+  python scripts/webcorpus_scaling_bench.py --run 8    # child: one run
+Env: WEBCORPUS_ROWS (default 1000000), WEBCORPUS_CORES (default 2,8),
+     WEBCORPUS_RUNS / WEBCORPUS_PASSES (default 2 each).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROWS = int(os.environ.get("WEBCORPUS_ROWS", "1000000"))
+DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".bench",
+    f"web_pages_{ROWS}.parquet",
+)
+CORES = tuple(
+    int(c) for c in os.environ.get("WEBCORPUS_CORES", "2,8").split(",")
+)
+
+
+def run_child(cores: int) -> None:
+    from pyspark.sql import functions as F
+
+    from ddsketch_ruby_spark.operators.webcorpus import (
+        prepare_web_corpus,
+        web_corpus_quantiles,
+    )
+    from ddsketch_ruby_spark.sources.session import get_spark
+
+    spark = get_spark(
+        f"webcorpus-scaling-{cores}", cpus=cores, shuffle_partitions=cores
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(DATA)
+    n = df.count()
+
+    def job():
+        rollup = web_corpus_quantiles(
+            prepare_web_corpus(df), group_cols=["host"]
+        )
+        row = rollup.agg(
+            F.bit_xor(
+                F.xxhash64(
+                    "host",
+                    "qname",
+                    F.round("n_chars_q", 6),
+                    F.round("latency_ms_q", 6),
+                )
+            ).alias("checksum"),
+            F.count("*").alias("rows"),
+        ).collect()[0]
+        return int(row.checksum), int(row.rows)
+
+    # untimed warmup (codegen + JIT) on a slice
+    web_corpus_quantiles(
+        prepare_web_corpus(df.limit(5000)), group_cols=["host"]
+    ).count()
+    best, check = float("inf"), None
+    for _ in range(int(os.environ.get("WEBCORPUS_RUNS", "2"))):
+        t0 = time.monotonic()
+        check = job()
+        best = min(best, time.monotonic() - t0)
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "rows": n,
+                "secs": round(best, 3),
+                "docs_per_sec": round(n / best, 1),
+                "checksum": check[0],
+                "rollup_rows": check[1],
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--run":
+        run_child(int(sys.argv[2]))
+        return
+
+    if not os.path.exists(DATA):
+        from ddsketch_ruby_spark.sources.session import get_spark
+        from ddsketch_ruby_spark.sources.webpages import web_pages
+
+        spark = get_spark("webcorpus-gen", cpus=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        web_pages(spark, ROWS, dist="lognormal", partitions=64).write.mode(
+            "overwrite"
+        ).parquet(DATA)
+        spark.stop()
+
+    results: dict[int, dict] = {}
+    for _ in range(int(os.environ.get("WEBCORPUS_PASSES", "2"))):
+        for cores in CORES:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run", str(cores)],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            prev = results.get(cores)
+            if prev is not None and (
+                prev["checksum"] != r["checksum"]
+                or prev["rollup_rows"] != r["rollup_rows"]
+            ):
+                raise AssertionError(f"non-deterministic result: {prev} vs {r}")
+            if prev is None or r["docs_per_sec"] > prev["docs_per_sec"]:
+                results[cores] = r
+
+    lo, hi = min(CORES), max(CORES)
+    eff = (
+        results[hi]["docs_per_sec"]
+        / results[lo]["docs_per_sec"]
+        / (hi / lo)
+    )
+    report = {
+        "pipeline": "prepare_web_corpus + web_corpus_quantiles",
+        "rows": ROWS,
+        "levels": {str(c): results[c] for c in CORES},
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(report))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/webcorpus_scaling_latest.md", "w") as f:
+        f.write(
+            "# Web-corpus pipeline scaling (north-star job, "
+            "N vs 4N cores)\n\n"
+            f"rows={ROWS} (deterministic web_pages, lognormal lengths); "
+            "job = prepare_web_corpus (extract + URL keys + PII + "
+            "features + split) -> web_corpus_quantiles (per-HOST — the "
+            "zipf-skewed key, 997 groups with a hot head — "
+            "q50/q95/q99 of n_chars and latency_ms); clean JVM per run, "
+            "interleaved passes, best-of; determinism asserted via "
+            "rollup checksum across levels.\n\n"
+            "| cores | secs | docs/s |\n|---|---|---|\n"
+            + "".join(
+                f"| {c} | {results[c]['secs']} |"
+                f" {results[c]['docs_per_sec']} |\n"
+                for c in CORES
+            )
+            + f"\nScaling efficiency {lo}->{hi} cores: **{eff:.3f}**\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
