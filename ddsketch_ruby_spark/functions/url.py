@@ -12,7 +12,10 @@ every function sits under the hard oracle gate with two independent
 regex engines (Java vs RE2) agreeing on the documented common subset:
 inline ``(?s)`` flags, explicit character classes (never ``\\s``), no
 lookaround (RE2 has none), ``\\b`` = the ASCII word boundary both
-engines share.
+engines share, and ``\\z`` (never ``$``) for end-of-string anchors —
+Java's default ``$`` also matches BEFORE a final line terminator, RE2's
+does not, so a host or URL ending in a newline would silently diverge
+under ``$``.
 
 Semantics (documented, deliberately regex-grade — RFC-3986-lite):
 
@@ -66,8 +69,8 @@ _USERINFO_PAT = "^[^/?#@]*@"
 _USERINFO_GRP = "^([^/?#@]*@)"
 _HOSTPORT_GRP = "^([^/?#]*)"
 _HOST_ONLY_GRP = "^([^/:?#]*)"
-_FRAGMENT_PAT = "(?s)#.*$"
-_TRAILING_DOT = "\\.$"
+_FRAGMENT_PAT = "(?s)#.*\\z"
+_TRAILING_DOT = "\\.\\z"
 
 # compact multi-part public-suffix subset (full PSL is a deploy-time
 # swap via suffixes=); keep sorted for a stable regex alternation
@@ -80,7 +83,7 @@ MULTI_PART_SUFFIXES: tuple[str, ...] = (
     "org.cn", "org.in", "org.nz", "org.uk", "sch.uk",
 )
 
-_IPV4_HOST_PAT = "^[0-9]+(\\.[0-9]+){3}$"
+_IPV4_HOST_PAT = "^[0-9]+(\\.[0-9]+){3}\\z"
 
 # ordered: emails first (their host digits must not re-match as IPs),
 # then IPv4 literals, then phone-shaped runs
@@ -128,8 +131,8 @@ def url_normalize(c: str | Column) -> Column:
     user = F.regexp_extract(rest, _USERINFO_GRP, 1)
     rest2 = F.regexp_replace(rest, _USERINFO_PAT, "")
     hp = F.lower(F.regexp_extract(rest2, _HOSTPORT_GRP, 1))
-    hp = F.when(scheme == "http", F.regexp_replace(hp, ":80$", "")).when(
-        scheme == "https", F.regexp_replace(hp, ":443$", "")
+    hp = F.when(scheme == "http", F.regexp_replace(hp, ":80\\z", "")).when(
+        scheme == "https", F.regexp_replace(hp, ":443\\z", "")
     ).otherwise(hp)
     hp = F.regexp_replace(hp, _TRAILING_DOT, "")
     tail = F.regexp_replace(rest2, _HOSTPORT_GRP, "")
@@ -153,8 +156,8 @@ def url_normalize_sql(expr: str) -> str:
     rest2 = f"regexp_replace({rest}, {_sql_quote(_USERINFO_PAT)}, '')"
     hp = f"lower(regexp_extract({rest2}, {_sql_quote(_HOSTPORT_GRP)}, 1))"
     hp = (
-        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({hp}, ':80$', '')"
-        f" WHEN {scheme} = 'https' THEN regexp_replace({hp}, ':443$', '')"
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({hp}, ':80\\z', '')"
+        f" WHEN {scheme} = 'https' THEN regexp_replace({hp}, ':443\\z', '')"
         f" ELSE {hp} END"
     )
     hp = f"regexp_replace({hp}, {_sql_quote(_TRAILING_DOT)}, '')"
@@ -171,7 +174,7 @@ def url_normalize_sql(expr: str) -> str:
 
 def _suffix_patterns(suffixes: tuple[str, ...]) -> tuple[str, str]:
     alt = "|".join(s.replace(".", "\\.") for s in suffixes)
-    return (f"([^.]+\\.(?:{alt}))$", "([^.]+\\.[^.]+)$")
+    return (f"([^.]+\\.(?:{alt}))\\z", "([^.]+\\.[^.]+)\\z")
 
 
 def registrable_domain(

@@ -174,6 +174,10 @@ def test_engine_parity_fuzz(spark):
         "Example", ".CO.UK", ".com", ".", ":80", ":443", ":8080",
         "/Path/To;x", "?q=a%20b&r=1.2.3.4", "#frag@x", "/a@b",
         " mail me at a.b@c.de or 10.0.0.1 ", "(555) 010-1234",
+        # trailing-newline anchors: Java's $ matches BEFORE a final
+        # line terminator, RE2's does not — \z is the shared anchor,
+        # and these pieces make a wrong $ fail the parity assert
+        "\n", ".com\n", ":80\n",
     ]
     urls = []
     for i in range(200):
