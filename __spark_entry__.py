@@ -1696,8 +1696,7 @@ def _q_extract_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _extract_text_oracle_sql() -> str:
     from ddsketch_ruby_spark.functions.html import html_to_text_sql
 
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
+    from ddsketch_ruby_spark.functions.sqltext import sql_quote as q
 
     build = (
         f"encode({q(_HTML_PRE_TITLE)} || lang || {q(_HTML_POST_LANG)}"

@@ -39,9 +39,11 @@ scan-bound regex pipeline is the right default and the parser is a
 per-row UDF swap-in.
 
 Every regex below sticks to the common Java-regex / RE2 subset: inline
-``(?is)`` flags, lazy ``.*?``, explicit character classes (never ``\\s``
-— Java and RE2 disagree on its membership). Whitespace in patterns is
-the explicit ``[ \\t\\r\\n]`` class per project invariant.
+``(?s)`` (dotall — identical in both), lazy ``.*?``, explicit character
+classes (never ``\\s`` — Java and RE2 disagree on its membership; never
+``(?i)`` — Java folds ASCII only, RE2 folds Unicode, so
+case-insensitivity is explicit ``[sS]``-style classes). Whitespace in
+patterns is the explicit ``[ \\t\\r\\n]`` class per project invariant.
 
 Reference parity note: ddsketch-ruby has no HTML handling — this is
 north-rule surface (BASELINE.json input_hint), not reference surface.
@@ -51,6 +53,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+from ddsketch_ruby_spark.functions.sqltext import sql_quote as _sql_quote
 
 __all__ = ["html_to_text", "html_to_text_sql", "HTML_ENTITIES"]
 
@@ -65,12 +69,19 @@ HTML_ENTITIES: tuple[tuple[str, str], ...] = (
     ("&amp;", "&"),
 )
 
-# raw-text elements whose bodies are opaque to the tag grammar
+# raw-text elements whose bodies are opaque to the tag grammar.
+# Case-insensitivity is EXPLICIT [sS]-style classes, never (?i): Java's
+# inline (?i) folds ASCII only while RE2's applies Unicode simple
+# folding, so '<ſcript>' (long s) would be raw text in DuckDB but a
+# plain tag in Spark — with explicit classes both engines treat it as a
+# plain tag and byte-identity holds.
 _RAW_TEXT_PATTERNS: tuple[str, ...] = (
     # tag-name boundary: '<script>' or '<script<ws>attrs...>' only, so
     # e.g. '<scripted>' (a plain element) is NOT treated as raw text
-    "(?is)<script([ \\t\\r\\n][^>]*)?>.*?</script[ \\t\\r\\n]*>",
-    "(?is)<style([ \\t\\r\\n][^>]*)?>.*?</style[ \\t\\r\\n]*>",
+    "(?s)<[sS][cC][rR][iI][pP][tT]([ \\t\\r\\n][^>]*)?>"
+    ".*?</[sS][cC][rR][iI][pP][tT][ \\t\\r\\n]*>",
+    "(?s)<[sS][tT][yY][lL][eE]([ \\t\\r\\n][^>]*)?>"
+    ".*?</[sS][tT][yY][lL][eE][ \\t\\r\\n]*>",
 )
 _COMMENT_PATTERN = "(?s)<!--.*?-->"
 _TAG_PATTERN = "<[^>]*>"
@@ -94,8 +105,6 @@ def html_to_text(c: str | Column, *, binary: bool = True) -> Column:
     return s.alias("text")
 
 
-def _sql_quote(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
 
 
 def html_to_text_sql(expr: str, *, binary: bool = True) -> str:

@@ -11,18 +11,23 @@ path) with SQL builders emitting the op-identical DuckDB expression, so
 every function sits under the hard oracle gate with two independent
 regex engines (Java vs RE2) agreeing on the documented common subset:
 inline ``(?s)`` flags, explicit character classes (never ``\\s``), no
-lookaround (RE2 has none), ``\\b`` = the ASCII word boundary both
-engines share, and ``\\z`` (never ``$``) for end-of-string anchors —
-Java's default ``$`` also matches BEFORE a final line terminator, RE2's
-does not, so a host or URL ending in a newline would silently diverge
-under ``$``.
+lookaround (RE2 has none), no ``\\b`` (Java's word boundary is
+Unicode-aware — even though Java's ``\\w`` is ASCII — while RE2's is
+ASCII-only: a digit next to ``ſ`` is word-internal in Java but a
+boundary in RE2; measured, fuzz-pinned), and ``\\z`` (never ``$``) for
+end-of-string anchors — Java's default ``$`` also matches BEFORE a
+final line terminator, RE2's does not, so a host or URL ending in a
+newline would silently diverge under ``$``.
 
 Semantics (documented, deliberately regex-grade — RFC-3986-lite):
 
-- ``url_host``: strip scheme (``X://``) and userinfo (``user@`` before
-  any ``/?#``), take chars up to the first ``/:?#``, lowercase, drop
-  one trailing dot.
-- ``url_normalize``: lowercase scheme and host:port, strip the scheme's
+- ``url_host``: strip scheme (``X://``) and userinfo (up to the LAST
+  ``@`` before any ``/?#`` — the WHATWG split), take chars up to the
+  first ``/:?#``, ASCII-lowercase (translate, never lower(): the JVM's
+  full Unicode case mapping and DuckDB's simple mapping diverge on e.g.
+  ``İ``, and host folding is ASCII-only per WHATWG anyway), drop one
+  trailing dot.
+- ``url_normalize``: ASCII-lowercase scheme and host:port, strip the scheme's
   default port (http:80 / https:443), drop one trailing host dot (only
   when no port remains — documented limit), drop the fragment, and give
   an empty path a ``/`` (also before a bare query). Userinfo, path,
@@ -34,10 +39,11 @@ Semantics (documented, deliberately regex-grade — RFC-3986-lite):
   stand-in for the full Mozilla PSL; swap ``suffixes=`` for the full
   list at deploy time). IPv4 literals pass through whole; a host with
   no dot returns itself.
-- ``redact_pii``: ordered global replaces — emails, then IPv4 literals,
-  then phone-shaped digit runs (7+ chars of digits/space/()/-) — each to
-  a fixed placeholder token. Order matters: an email's host digits must
-  not survive as an "IP".
+- ``redact_pii``: ordered global replaces — emails, IPv4 literals,
+  marker-bearing phone shapes (``+``-prefixed or parenthesized-group
+  runs; bare digit/dash runs would also match every ISO date in the
+  corpus), then 9+-digit bare runs (ids). Order matters: an email's
+  host digits must not survive as an "IP".
 
 Reference parity note: ddsketch-ruby has no URL handling — this is
 north-rule surface (BASELINE.json input_hint url column), not reference
@@ -48,6 +54,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+from ddsketch_ruby_spark.functions.sqltext import sql_quote as _sql_quote
 
 __all__ = [
     "url_host",
@@ -64,9 +72,11 @@ __all__ = [
 
 _SCHEME_PAT = "^[a-zA-Z][a-zA-Z0-9+.\\-]*://"
 _SCHEME_GRP = "^([a-zA-Z][a-zA-Z0-9+.\\-]*)://"
-# userinfo cannot cross the authority boundary: the class excludes /?#
-_USERINFO_PAT = "^[^/?#@]*@"
-_USERINFO_GRP = "^([^/?#@]*@)"
+# userinfo cannot cross the authority boundary (the class excludes /?#)
+# and runs to the LAST '@' before it (greedy star + literal '@' — the
+# WHATWG split; 'a@trusted.com@evil.com' must not leave '@' in the host)
+_USERINFO_PAT = "^[^/?#]*@"
+_USERINFO_GRP = "^([^/?#]*@)"
 _HOSTPORT_GRP = "^([^/?#]*)"
 _HOST_ONLY_GRP = "^([^/:?#]*)"
 _FRAGMENT_PAT = "(?s)#.*\\z"
@@ -86,27 +96,55 @@ MULTI_PART_SUFFIXES: tuple[str, ...] = (
 _IPV4_HOST_PAT = "^[0-9]+(\\.[0-9]+){3}\\z"
 
 # ordered: emails first (their host digits must not re-match as IPs),
-# then IPv4 literals, then phone-shaped runs
+# then IPv4 literals, then phone shapes, then long bare digit runs.
+# Phone rules require an explicit phone MARKER (+ prefix or a
+# parenthesized group): a bare digits/space/dash run would also match
+# every ISO date and timestamp in the corpus ('2025-01-01 12 30'),
+# destroying dates in training text — dashed dates have <=4-digit runs,
+# so they survive all four rules while +intl / (area) formats and
+# 9+-digit ids are caught.
+# No \b anywhere: Java's \b is Unicode-aware (a digit next to 'ſ' is
+# word-internal) while RE2's is ASCII-only — the engines diverge, so
+# the patterns are self-delimiting instead. Bare matches over-redact
+# inside longer dotted/digit runs ('v1.2.3.456' loses its tail), which
+# is the SAFE direction for redaction — a boundary-dependent rule would
+# instead silently LEAK the second of two adjacent IPs.
 PII_RULES: tuple[tuple[str, str, str], ...] = (
     ("email", "[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ipv4", "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
-    ("phone", "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone_intl", "\\+[0-9][0-9()\\- ]{5,}[0-9]", "<PHONE>"),
+    ("phone_paren", "\\([0-9]{1,4}\\)[0-9()\\- ]{4,}[0-9]", "<PHONE>"),
+    ("id_digits", "[0-9]{9,}", "<NUMBER>"),
 )
+
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
 
 
 def _col(c: str | Column) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-def _sql_quote(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+
+
+def _ascii_lower(c: Column) -> Column:
+    """ASCII-only lowercase via translate — NOT lower(): Java's full
+    Unicode case mapping and DuckDB's utf8proc simple mapping diverge
+    (lower('İ') is 2 codepoints in the JVM, 1 in DuckDB), and host
+    case-folding is ASCII-only per WHATWG anyway (non-ASCII hosts go
+    through IDNA, out of scope here)."""
+    return F.translate(c, _ASCII_UPPER, _ASCII_LOWER)
+
+
+def _ascii_lower_sql(expr: str) -> str:
+    return f"translate({expr}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
 
 
 def url_host(c: str | Column) -> Column:
-    """Lowercased host of a URL column (no port, no trailing dot)."""
+    """ASCII-lowercased host of a URL column (no port, no trailing dot)."""
     r = F.regexp_replace(_col(c), _SCHEME_PAT, "")
     r = F.regexp_replace(r, _USERINFO_PAT, "")
-    h = F.lower(F.regexp_extract(r, _HOST_ONLY_GRP, 1))
+    h = _ascii_lower(F.regexp_extract(r, _HOST_ONLY_GRP, 1))
     return F.regexp_replace(h, _TRAILING_DOT, "").alias("host")
 
 
@@ -114,7 +152,7 @@ def url_host_sql(expr: str) -> str:
     """DuckDB expression replaying :func:`url_host` op-for-op."""
     r = f"regexp_replace(({expr}), {_sql_quote(_SCHEME_PAT)}, '')"
     r = f"regexp_replace({r}, {_sql_quote(_USERINFO_PAT)}, '')"
-    h = f"lower(regexp_extract({r}, {_sql_quote(_HOST_ONLY_GRP)}, 1))"
+    h = _ascii_lower_sql(f"regexp_extract({r}, {_sql_quote(_HOST_ONLY_GRP)}, 1)")
     return f"regexp_replace({h}, {_sql_quote(_TRAILING_DOT)}, '')"
 
 
@@ -130,7 +168,7 @@ def url_normalize(c: str | Column) -> Column:
     rest = F.regexp_replace(u, _SCHEME_PAT, "")
     user = F.regexp_extract(rest, _USERINFO_GRP, 1)
     rest2 = F.regexp_replace(rest, _USERINFO_PAT, "")
-    hp = F.lower(F.regexp_extract(rest2, _HOSTPORT_GRP, 1))
+    hp = _ascii_lower(F.regexp_extract(rest2, _HOSTPORT_GRP, 1))
     hp = F.when(scheme == "http", F.regexp_replace(hp, ":80\\z", "")).when(
         scheme == "https", F.regexp_replace(hp, ":443\\z", "")
     ).otherwise(hp)
@@ -154,7 +192,9 @@ def url_normalize_sql(expr: str) -> str:
     rest = f"regexp_replace(({expr}), {_sql_quote(_SCHEME_PAT)}, '')"
     user = f"regexp_extract({rest}, {_sql_quote(_USERINFO_GRP)}, 1)"
     rest2 = f"regexp_replace({rest}, {_sql_quote(_USERINFO_PAT)}, '')"
-    hp = f"lower(regexp_extract({rest2}, {_sql_quote(_HOSTPORT_GRP)}, 1))"
+    hp = _ascii_lower_sql(
+        f"regexp_extract({rest2}, {_sql_quote(_HOSTPORT_GRP)}, 1)"
+    )
     hp = (
         f"CASE WHEN {scheme} = 'http' THEN regexp_replace({hp}, ':80\\z', '')"
         f" WHEN {scheme} = 'https' THEN regexp_replace({hp}, ':443\\z', '')"

@@ -133,11 +133,18 @@ def web_corpus_quantiles(
 
     ``df`` may be a raw crawl frame (it is passed through
     :func:`prepare_web_corpus` first) or an already-prepared corpus
-    (detected by the presence of the ``domain`` column). Each value
-    column gets its own mergeable DDSketch aggregation (long format:
-    one row per (group, qname)); results are full-joined on
-    (group keys, qname) — the join sides are tiny (rows = groups x
-    quantiles), far below any broadcast threshold.
+    (detected by the presence of the ``domain`` column). All value
+    columns share ONE scan: rows are melted to (keys, measure, value)
+    with a 2-element explode, so the heavy extraction/regex projection
+    runs once per row regardless of how many measures are sketched
+    (sketching each column separately would re-execute the lazy
+    prepare pipeline per column). One sketch shuffle on
+    (keys, measure), then a pivot over the tiny long frame
+    (groups x quantiles x measures rows) back to one column per
+    measure. Zero and negative values are INCLUDED — the engine's
+    three-zone routing represents them exactly, and a crawl where many
+    pages extract to empty text must not silently overstate the length
+    quantiles.
     """
     if "domain" not in df.columns:
         df = prepare_web_corpus(df, **prepare_kwargs)
@@ -151,22 +158,36 @@ def web_corpus_quantiles(
         raise ValueError(
             f"none of {value_cols} present in {df.columns}"
         )
-    out: DataFrame | None = None
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(v).alias("measure"),
+                F.col(v).cast("double").alias("val"),
+            )
+            for v in present
+        ]
+    )
+    long = (
+        df.select(*keys, F.explode(pairs).alias("__mv"))
+        .select(
+            *keys,
+            F.col("__mv.measure").alias("__measure"),
+            F.col("__mv.val").alias("__val"),
+        )
+        .filter(F.col("__val").isNotNull() & ~F.isnan("__val"))
+    )
+    q = ddsketch_quantiles_long(
+        long,
+        "__val",
+        [*keys, "__measure"],
+        quantiles=quantiles,
+        relative_accuracy=relative_accuracy,
+    )
+    out = (
+        q.groupBy(*keys, "qname")
+        .pivot("__measure", present)
+        .agg(F.first("qvalue"))
+    )
     for v in present:
-        q = ddsketch_quantiles_long(
-            df.filter(F.col(v) > 0),
-            v,
-            keys,
-            quantiles=quantiles,
-            relative_accuracy=relative_accuracy,
-        )
-        renamed = q.select(
-            *keys, "qname", F.col("qvalue").alias(f"{v}_q")
-        )
-        out = (
-            renamed
-            if out is None
-            else out.join(renamed, [*keys, "qname"], "full")
-        )
-    assert out is not None
+        out = out.withColumnRenamed(v, f"{v}_q")
     return out

@@ -132,6 +132,17 @@ def main() -> None:
                 results[cores] = r
 
     lo, hi = min(CORES), max(CORES)
+    # the headline determinism claim: the rollup is bit-identical ACROSS
+    # parallelism levels, not just across passes at the same level
+    first = results[CORES[0]]
+    for c in CORES[1:]:
+        if (
+            results[c]["checksum"] != first["checksum"]
+            or results[c]["rollup_rows"] != first["rollup_rows"]
+        ):
+            raise AssertionError(
+                f"cross-level nondeterminism: {first} vs {results[c]}"
+            )
     eff = (
         results[hi]["docs_per_sec"]
         / results[lo]["docs_per_sec"]

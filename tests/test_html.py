@@ -21,6 +21,10 @@ CASES = [
         "after",
     ),
     ('<SCRIPT TYPE="text/javascript">s</SCRIPT>ok', "ok"),
+    # Unicode case trap: 'ſ' folds to 's' under RE2's (?i) but not
+    # Java's — with explicit [sS] classes BOTH engines treat '<ſcript>'
+    # as a plain tag (stripped, body kept), never as raw text
+    ("<ſcript>alert()</ſcript>kept", "alert()kept"),
     ("<style>body { margin: 0; }</style>ok", "ok"),
     # multiline raw text ((?s) dotall)
     ("<script>\nline1\nline2\n</script>rest", "rest"),
