@@ -1889,6 +1889,38 @@ FROM red
 """
 
 
+def _q_latest_events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newest-capture-per-key dedup under the hard gate (the crawl
+    table's multi-snapshot collapse, exercised on events): one hash
+    aggregation keyed by user_id picking max_by(row, (ts, event_id)) —
+    map-side pre-reduction, one candidate row per (partition, key) on
+    the shuffle, never the full history. The (ts, event_id) order key
+    makes the winner unique, so the result is partitioning-invariant;
+    the oracle replays it as ROW_NUMBER() OVER (ORDER BY ts DESC,
+    event_id DESC) = 1 — a different algorithm (global sort rank vs
+    arg-max monoid) agreeing row-for-row."""
+    from ddsketch_ruby_spark.operators.webcorpus import latest_capture
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    out = latest_capture(ev, "user_id", "ts", tie_breakers=("event_id",))
+    return out.select(
+        "user_id", "event_id", "ts", "event_type", "value", "props"
+    )
+
+
+_LATEST_EVENTS_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, ts, event_type, value, props,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, event_id, ts, event_type, value, props
+FROM ranked WHERE rn = 1
+"""
+
+
 def _q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition signals under the hard gate:
     per document the duplicate word 2-gram and 3-gram fractions
@@ -4089,12 +4121,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_text_documents": _q_extract_text_documents,
     "url_normalize_documents": _q_url_normalize_documents,
     "redact_pii_documents": _q_redact_pii_documents,
+    "latest_events_by_user": _q_latest_events_by_user,
     "repetition_documents": _q_repetition_documents,
     "ddsketch_drift_events": _q_ddsketch_drift,
     "ddsketch_psi_events": _q_ddsketch_psi,
     "sketch_winsorize_events": _q_sketch_winsorize,
     "robust_stats_events": _q_robust_stats,
-    "dedup_collapse_documents": _q_dedup_collapse,
     # ---- driver-gate window boundary (first 50 entries above) ----
     # tail entries: recorded green in >=3 prior rounds, replayed by
     # check_oracles.py AND persisted per-round in CORRECTNESS_SELF_r5.json
@@ -4106,7 +4138,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotated out for extract_text_documents; bpe_token_documents and
     # ivf_recall_planted — green r03-r04 + the r5 self-replay, the
     # planted-recall family keeps three windowed rows — rotated out for
-    # url_normalize_documents and redact_pii_documents)
+    # url_normalize_documents and redact_pii_documents;
+    # dedup_collapse_documents — green r03-r04 + self-replay, its
+    # machinery also runs inside windowed dedup_corpus_documents —
+    # rotated out for latest_events_by_user)
+    "dedup_collapse_documents": _q_dedup_collapse,
     "bpe_token_documents": _q_bpe_tokens,
     "ivf_recall_planted": _q_ivf_recall_planted,
     "lsh_recall_planted": _q_lsh_recall_planted,
@@ -5546,6 +5582,7 @@ ORACLES["normalize_documents"] = _NORMALIZE_ORACLE
 ORACLES["extract_text_documents"] = _extract_text_oracle_sql()
 ORACLES["url_normalize_documents"] = _url_normalize_oracle_sql()
 ORACLES["redact_pii_documents"] = _redact_pii_oracle_sql()
+ORACLES["latest_events_by_user"] = _LATEST_EVENTS_ORACLE
 ORACLES["repetition_documents"] = _repetition_oracle_sql()
 ORACLES["ivfpq_topk_embeddings"] = _ivfpq_oracle_sql(k=10)
 ORACLES["ivfpq_ann_join_exhaustive"] = _ivfpq_ann_join_oracle_sql(k=5)

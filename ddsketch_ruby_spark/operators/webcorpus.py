@@ -51,7 +51,7 @@ from ddsketch_ruby_spark.functions.url import (
 )
 from ddsketch_ruby_spark.operators.sampling import hash_split
 
-__all__ = ["prepare_web_corpus", "web_corpus_quantiles"]
+__all__ = ["prepare_web_corpus", "web_corpus_quantiles", "latest_capture"]
 
 _DEFAULT_SPLITS = {"train": 0.98, "val": 0.01, "test": 0.01}
 
@@ -191,3 +191,34 @@ def web_corpus_quantiles(
     for v in present:
         out = out.withColumnRenamed(v, f"{v}_q")
     return out
+
+
+def latest_capture(
+    df: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    tie_breakers: tuple[str, ...] = (),
+) -> DataFrame:
+    """Keep only the newest capture per key — the multi-snapshot dedup a
+    crawl table needs before any per-document statistics (the same url
+    is fetched by many crawls; counting every capture would weight hot
+    pages by fetch frequency, not content).
+
+    One hash aggregation on the key: ``max_by(struct(all columns),
+    struct(ts, tie_breakers...))`` pre-reduces map-side, so the shuffle
+    moves one candidate row per (partition, key), never the capture
+    history. Deterministic under ties only if (ts, tie_breakers) is
+    unique per key — pass tie_breakers (e.g. a digest or fetch id) when
+    timestamps can collide; with no tie breaker and duplicate
+    timestamps the winner is partitioning-dependent, same as any
+    arg-max. Output columns == input columns (key first dropped dupes).
+    """
+    others = [c for c in df.columns if c != key_col]
+    ord_cols = [ts_col, *tie_breakers]
+    picked = df.groupBy(key_col).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in others]),
+            F.struct(*[F.col(c) for c in ord_cols]),
+        ).alias("__row")
+    )
+    return picked.select(key_col, *[F.col(f"__row.{c}").alias(c) for c in others])

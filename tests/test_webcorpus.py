@@ -178,3 +178,47 @@ def test_quantiles_missing_values_raise(spark):
     c = prepare_web_corpus(pages)
     with pytest.raises(ValueError):
         web_corpus_quantiles(c, value_cols=("nope",))
+
+
+def test_latest_capture(spark):
+    """Newest capture per url wins; ties broken by the tie_breaker; one
+    row per key; columns preserved."""
+    from ddsketch_ruby_spark.operators.webcorpus import latest_capture
+
+    rows = [
+        ("u1", "2025-01-02 00:00:00", 1, "old"),
+        ("u1", "2025-01-03 00:00:00", 2, "new"),
+        ("u2", "2025-01-01 00:00:00", 5, "only"),
+        # tied timestamps: higher fetch_id wins
+        ("u3", "2025-01-01 00:00:00", 7, "lo"),
+        ("u3", "2025-01-01 00:00:00", 9, "hi"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, fetch_id long, body string"
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    got = {
+        r.url: (r.fetch_id, r.body)
+        for r in latest_capture(df, "url", "warc_ts", tie_breakers=("fetch_id",)).collect()
+    }
+    assert got == {"u1": (2, "new"), "u2": (5, "only"), "u3": (9, "hi")}
+    assert set(
+        latest_capture(df, "url", "warc_ts").columns
+    ) == {"url", "warc_ts", "fetch_id", "body"}
+
+
+def test_latest_capture_partitioning_invariant(spark):
+    """Same winners at 1 partition and 16 partitions (the arg-max order
+    key is unique, so the monoid is deterministic)."""
+    from ddsketch_ruby_spark.operators.webcorpus import latest_capture
+
+    pages = web_pages(spark, 400, partitions=4)
+    # synthesize multiple captures: 3 snapshots per url, later ts wins
+    multi = pages.unionByName(
+        pages.withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
+    ).unionByName(
+        pages.withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 2 DAY"))
+    )
+    a = latest_capture(multi.coalesce(1), "url", "warc_ts").select("url", "warc_ts")
+    b = latest_capture(multi.repartition(16), "url", "warc_ts").select("url", "warc_ts")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() == 400
