@@ -20,7 +20,7 @@ import json
 import os
 import time
 import uuid
-from typing import Iterable
+from typing import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -38,12 +38,25 @@ class CheckpointedSketchBuild:
         checkpoint_dir: str,
         value_col: str,
         group_by: Iterable[str] = (),
+        transform: Callable[[DataFrame], DataFrame] | None = None,
     ) -> None:
+        """``transform`` (optional) maps each split's raw frame to the
+        frame actually sketched — e.g. ``prepare_web_corpus``, making the
+        full north-star job (extract + URL keys + PII + features, then
+        the per-domain sketch) resumable per split. It must be
+        deterministic per split (lineage marks a split done by id, so a
+        changed transform does NOT invalidate persisted partials — use a
+        fresh checkpoint dir when the pipeline changes) and must yield
+        ``value_col`` and the ``group_by`` columns. Scan-level
+        transforms keep the per-split job one WholeStageCodegen pass;
+        nothing stops a transform that shuffles, but then the
+        split-as-unit-of-work framing stops matching the cost model."""
         self.spark = spark
         self.spec = spec
         self.dir = checkpoint_dir
         self.value_col = value_col
         self.group_by = list(group_by)
+        self.transform = transform
         os.makedirs(os.path.join(self.dir, "partials"), exist_ok=True)
         os.makedirs(os.path.join(self.dir, "lineage"), exist_ok=True)
 
@@ -73,6 +86,8 @@ class CheckpointedSketchBuild:
             sid = self._split_id(path)
             t0 = time.monotonic()
             df = self.spark.read.parquet(path)
+            if self.transform is not None:
+                df = self.transform(df)
             partial = sketch_agg(
                 df, self.spec, self.value_col, self.group_by, output="state"
             )

@@ -28,6 +28,14 @@ def main() -> None:
     p.add_argument("--group-by", default="lang")
     p.add_argument("--alpha", type=float, default=0.01)
     p.add_argument("--bin-limit", type=int, default=2048)
+    p.add_argument(
+        "--prepare-web-corpus",
+        action="store_true",
+        help="run prepare_web_corpus on each split before sketching "
+        "(raw crawl frames: url/warc_ts/html/...; makes e.g. "
+        "--value-col n_chars --group-by domain the full north-star "
+        "job, resumable per split)",
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -38,8 +46,13 @@ def main() -> None:
     spark = SparkSession.builder.appName("ddsketch-build").getOrCreate()
     spec = DDSketchSpec(args.alpha, bin_limit=args.bin_limit)
     group_by = [g for g in args.group_by.split(",") if g]
+    transform = None
+    if args.prepare_web_corpus:
+        from ddsketch_ruby_spark.operators.webcorpus import prepare_web_corpus
+
+        transform = prepare_web_corpus
     build = CheckpointedSketchBuild(
-        spark, spec, args.checkpoint, args.value_col, group_by
+        spark, spec, args.checkpoint, args.value_col, group_by, transform
     )
     splits = sorted(
         d

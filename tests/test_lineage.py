@@ -57,6 +57,51 @@ def test_resume_equals_single_shot(spark, tmp_path, splits):
         assert got[k]["max"] == ref_rows[k]["max"]
 
 
+def test_transform_resume_runs_north_star_pipeline(spark, tmp_path):
+    """transform= makes the FULL composed job (prepare_web_corpus ->
+    per-domain sketch) resumable per split: kill-and-resume equals
+    single-shot, which equals the plain non-checkpointed build over the
+    union of the transformed splits."""
+    from ddsketch_ruby_spark.operators.agg import sketch_agg
+    from ddsketch_ruby_spark.operators.webcorpus import prepare_web_corpus
+    from ddsketch_ruby_spark.sources.webpages import web_pages
+
+    src = web_pages(spark, 3000, dist="lognormal", partitions=3)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"crawl_{i}")
+        src.filter(f"crc32(url) % 3 = {i}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        paths.append(p)
+
+    spec = DDSketchSpec(
+        0.01, include_stats=True, quantiles={"q50": 0.5, "q99": 0.99}
+    )
+
+    def build(d):
+        return CheckpointedSketchBuild(
+            spark, spec, d, "n_chars", ["host"], prepare_web_corpus
+        )
+
+    killed = build(str(tmp_path / "ck_kill"))
+    assert killed.run(paths, fail_after=1) == 1
+    assert not killed.is_complete(paths)
+    resumed = build(str(tmp_path / "ck_kill"))
+    assert resumed.run(paths) == 2
+    got = {r["host"]: r.asDict() for r in resumed.result().collect()}
+
+    plain = prepare_web_corpus(spark.read.parquet(*paths))
+    ref = {
+        r["host"]: r.asDict()
+        for r in sketch_agg(plain, spec, "n_chars", ["host"]).collect()
+    }
+    assert set(got) == set(ref) and len(got) > 1
+    for k in got:
+        for f in ("count", "q50", "q99", "min", "max"):
+            assert got[k][f] == ref[k][f], (k, f)
+
+
 def test_rerun_is_noop(spark, tmp_path, splits):
     spec = DDSketchSpec(0.01)
     d = str(tmp_path / "ckpt_noop")
