@@ -50,7 +50,12 @@ class CheckpointedSketchBuild:
         ``value_col`` and the ``group_by`` columns. Scan-level
         transforms keep the per-split job one WholeStageCodegen pass;
         nothing stops a transform that shuffles, but then the
-        split-as-unit-of-work framing stops matching the cost model."""
+        split-as-unit-of-work framing stops matching the cost model.
+        The transform sees ONE split at a time: row-wise enrichment
+        (``prepare_web_corpus``) composes correctly, but cross-row
+        reductions (e.g. ``latest_capture`` snapshot dedup) would apply
+        per split, not globally — run those as a separate materialized
+        pass before the checkpointed build."""
         self.spark = spark
         self.spec = spec
         self.dir = checkpoint_dir
