@@ -1723,6 +1723,126 @@ FROM ext
 """
 
 
+
+
+# outlink-gate page fragments shared by the Spark build and the oracle:
+# three resolvable anchors (absolute external, root-relative with an
+# entity-escaped query, protocol-relative on a tab-delimited attr) plus
+# three traps (mailto:, nameless anchor, data-href), wrapped around the
+# entity-escaped corpus text.
+_OL_P1 = "<p>"
+_OL_P2 = '</p><a href="https://ext'
+_OL_P3 = ".example.org/p/"
+_OL_P4 = '">x</a><a class="c'
+_OL_P5 = '" href="/local/'
+_OL_P6 = "?a=1&amp;b="
+_OL_P7 = '">y</a><a\thref="//cdn'
+_OL_P8 = ".example.net/i/"
+_OL_P9 = '.png">z</a><a href="mailto:u'
+_OL_P10 = (
+    '@example.org">m</a><a name="top">plain</a>'
+    '<a data-href="https://trap.example/'
+)
+_OL_P11 = '">t</a>'
+
+
+def _q_outlinks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction + resolution under the hard gate: each document
+    becomes an adversarial page (three resolvable anchors — absolute
+    external, root-relative with an entity-escaped query, protocol-
+    relative behind a tab-delimited attribute — plus mailto/nameless/
+    data-href traps around the escaped corpus text) served from a
+    deterministic mixed-case crawl URL; ``outlinks`` must produce the
+    exact (url, href, dst_url, src_host, dst_host, external) edge
+    relation — 3 rows per document. The oracle replays the page build,
+    the href regex, the entity decode, the resolution CASE, and both
+    host parses op-for-op in DuckDB (RE2 vs Java — independent regex
+    engines on the documented common subset)."""
+    from ddsketch_ruby_spark.operators.webcorpus import outlinks
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    page = F.concat(
+        F.lit(_OL_P1), esc, F.lit(_OL_P2), (did % 7).cast("string"),
+        F.lit(_OL_P3), ds, F.lit(_OL_P4), (did % 3).cast("string"),
+        F.lit(_OL_P5), ds, F.lit(_OL_P6), (did % 5).cast("string"),
+        F.lit(_OL_P7), (did % 4).cast("string"), F.lit(_OL_P8), ds,
+        F.lit(_OL_P9), ds, F.lit(_OL_P10), ds, F.lit(_OL_P11),
+    )
+    built = docs.select(
+        F.concat(
+            F.lit("https://Host"), (did % 97).cast("string"),
+            F.lit(".example.com/d/"), ds,
+        ).alias("url"),
+        F.encode(page, "UTF-8").alias("html"),
+    )
+    return outlinks(built, html_col="html", url_col="url", binary=True)
+
+
+def _outlinks_oracle_sql() -> str:
+    from ddsketch_ruby_spark.functions.html import (
+        HTML_ENTITIES,
+        extract_links_sql,
+    )
+    from ddsketch_ruby_spark.functions.sqltext import sql_quote as q
+    from ddsketch_ruby_spark.functions.url import url_host_sql
+    from ddsketch_ruby_spark.operators.webcorpus import outlinks_resolve_sql
+
+    esc = (
+        "replace(replace(replace(text, '&', '&amp;'),"
+        " '<', '&lt;'), '>', '&gt;')"
+    )
+    ds = "CAST(doc_id AS VARCHAR)"
+    page = (
+        f"{q(_OL_P1)} || {esc} || {q(_OL_P2)} ||"
+        f" CAST(doc_id % 7 AS VARCHAR) || {q(_OL_P3)} || {ds} ||"
+        f" {q(_OL_P4)} || CAST(doc_id % 3 AS VARCHAR) || {q(_OL_P5)} ||"
+        f" {ds} || {q(_OL_P6)} || CAST(doc_id % 5 AS VARCHAR) ||"
+        f" {q(_OL_P7)} || CAST(doc_id % 4 AS VARCHAR) || {q(_OL_P8)} ||"
+        f" {ds} || {q(_OL_P9)} || {ds} || {q(_OL_P10)} || {ds} ||"
+        f" {q(_OL_P11)}"
+    )
+    dec = "href_raw"
+    for entity, ch in HTML_ENTITIES:
+        rep = "chr(160)" if ch == "\u00a0" else q(ch)
+        dec = f"replace({dec}, {q(entity)}, {rep})"
+    return f"""
+WITH built AS (
+  SELECT 'https://Host' || CAST(doc_id % 97 AS VARCHAR)
+           || '.example.com/d/' || {ds} AS url,
+         encode({page}) AS html
+  FROM documents
+),
+links AS (
+  SELECT url, unnest({extract_links_sql('html')}) AS href_raw FROM built
+),
+dec AS (SELECT url, {dec} AS href FROM links),
+res AS (
+  SELECT url, href, {outlinks_resolve_sql('href', 'url')} AS dst_url
+  FROM dec
+),
+hosts AS (
+  SELECT url, href, dst_url,
+         {url_host_sql('url')} AS src_host,
+         {url_host_sql('dst_url')} AS dst_host
+  FROM res WHERE dst_url IS NOT NULL
+)
+SELECT url, href, dst_url, src_host, dst_host,
+       (dst_host != src_host) AS external
+FROM hosts
+"""
+
+
 def _q_url_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL parsing under the hard gate: each document gets a
     deterministically adversarial crawl URL — uppercase schemes rotated
@@ -4077,7 +4197,6 @@ FROM clamped GROUP BY event_type, bucket_key
 # r01+r02+r03) parked at the tail. scripts/check_oracles.py replays ALL
 # entries regardless and prints the window boundary.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "ddsketch_collapsed_bins": _q_ddsketch_collapsed_bins,
     "ivfpq_trained_recall": _q_ivfpq_trained_recall,
     "ann_rerank_recall": _q_ann_rerank_recall,
     "stream_drift_daily": _q_stream_drift_daily,
@@ -4121,6 +4240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_text_documents": _q_extract_text_documents,
     "url_normalize_documents": _q_url_normalize_documents,
     "redact_pii_documents": _q_redact_pii_documents,
+    "outlinks_documents": _q_outlinks_documents,
     "latest_events_by_user": _q_latest_events_by_user,
     "repetition_documents": _q_repetition_documents,
     "ddsketch_drift_events": _q_ddsketch_drift,
@@ -4141,7 +4261,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # url_normalize_documents and redact_pii_documents;
     # dedup_collapse_documents — green r03-r04 + self-replay, its
     # machinery also runs inside windowed dedup_corpus_documents —
-    # rotated out for latest_events_by_user)
+    # rotated out for latest_events_by_user; ddsketch_collapsed_bins —
+    # green r02-r04 + self-replay, family still windowed via
+    # ddsketch_collapsed_quantiles' clamp arithmetic in earlier rounds —
+    # rotated out for outlinks_documents)
+    "ddsketch_collapsed_bins": _q_ddsketch_collapsed_bins,
     "dedup_collapse_documents": _q_dedup_collapse,
     "bpe_token_documents": _q_bpe_tokens,
     "ivf_recall_planted": _q_ivf_recall_planted,
@@ -5583,6 +5707,7 @@ ORACLES["extract_text_documents"] = _extract_text_oracle_sql()
 ORACLES["url_normalize_documents"] = _url_normalize_oracle_sql()
 ORACLES["redact_pii_documents"] = _redact_pii_oracle_sql()
 ORACLES["latest_events_by_user"] = _LATEST_EVENTS_ORACLE
+ORACLES["outlinks_documents"] = _outlinks_oracle_sql()
 ORACLES["repetition_documents"] = _repetition_oracle_sql()
 ORACLES["ivfpq_topk_embeddings"] = _ivfpq_oracle_sql(k=10)
 ORACLES["ivfpq_ann_join_exhaustive"] = _ivfpq_ann_join_oracle_sql(k=5)

@@ -56,7 +56,13 @@ from pyspark.sql import functions as F
 
 from ddsketch_ruby_spark.functions.sqltext import sql_quote as _sql_quote
 
-__all__ = ["html_to_text", "html_to_text_sql", "HTML_ENTITIES"]
+__all__ = [
+    "html_to_text",
+    "html_to_text_sql",
+    "extract_links",
+    "extract_links_sql",
+    "HTML_ENTITIES",
+]
 
 # strictly ordered: '&amp;' LAST (single-level decode of double escapes)
 HTML_ENTITIES: tuple[tuple[str, str], ...] = (
@@ -125,3 +131,44 @@ def html_to_text_sql(expr: str, *, binary: bool = True) -> str:
         rep = "chr(160)" if ch == "\u00a0" else _sql_quote(ch)
         s = f"replace({s}, {_sql_quote(entity)}, {rep})"
     return s
+
+
+# Anchor-href extraction. Semantics (documented, regex-grade like the
+# extractor above): double-quoted href attributes of <a> tags only; the
+# attribute name must be delimited by whitespace (so data-href does not
+# match); values
+# are returned RAW — entity-decode them per HTML_ENTITIES after
+# exploding (operators/webcorpus.py outlinks does). Group 2 is the
+# value; group 1 is the lazy attribute skip (NOTE: a tag carrying a
+# duplicated href resolves to the LAST one — the optional attr-skip
+# group is tried before its absence, and both engines agree; probed in
+# tests). Same Java/RE2 common
+# subset: explicit case classes (never (?i)), explicit [ \t\r\n]
+# whitespace, no lookaround, no \b.
+_HREF_PATTERN = (
+    "<[aA][ \\t\\r\\n]([^>]*?[ \\t\\r\\n])?"
+    "[hH][rR][eE][fF][ \\t\\r\\n]*=[ \\t\\r\\n]*\"([^\"]*)\""
+)
+_HREF_GROUP = 2
+
+
+def extract_links(c: str | Column, *, binary: bool = True) -> Column:
+    """All double-quoted ``<a href="...">`` values as ``array<string>``.
+
+    Pure JVM expression (``regexp_extract_all``) — one scan-stage pass,
+    no Python. Values are raw attribute text; resolution (relative ->
+    absolute) and entity decoding live in ``outlinks``
+    (operators/webcorpus.py), which explodes this array.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    s = F.decode(col, "UTF-8") if binary else col
+    return F.regexp_extract_all(s, F.lit(_HREF_PATTERN), _HREF_GROUP)
+
+
+def extract_links_sql(expr: str, *, binary: bool = True) -> str:
+    """DuckDB expression replaying :func:`extract_links` op-for-op."""
+    s = f"decode({expr})" if binary else f"({expr})"
+    return (
+        f"regexp_extract_all({s}, {_sql_quote(_HREF_PATTERN)},"
+        f" {_HREF_GROUP})"
+    )

@@ -51,7 +51,13 @@ from ddsketch_ruby_spark.functions.url import (
 )
 from ddsketch_ruby_spark.operators.sampling import hash_split
 
-__all__ = ["prepare_web_corpus", "web_corpus_quantiles", "latest_capture"]
+__all__ = [
+    "prepare_web_corpus",
+    "web_corpus_quantiles",
+    "latest_capture",
+    "outlinks",
+    "outlinks_resolve_sql",
+]
 
 _DEFAULT_SPLITS = {"train": 0.98, "val": 0.01, "test": 0.01}
 
@@ -222,3 +228,113 @@ def latest_capture(
         ).alias("__row")
     )
     return picked.select(key_col, *[F.col(f"__row.{c}").alias(c) for c in others])
+
+
+# --- outlink extraction ----------------------------------------------------
+# Link-resolution patterns, shared verbatim by the Column chain and the
+# SQL twin (cross-engine subset: explicit case classes, no (?i)/\s/\b).
+_ABS_HTTP_PAT = "^[hH][tT][tT][pP][sS]?://"
+_BASE_ROOT_GRP = "^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)"
+_BASE_SCHEME_GRP = "^([a-zA-Z][a-zA-Z0-9+.\\-]*)://"
+
+
+def outlinks(
+    df: DataFrame,
+    *,
+    html_col: str = "html",
+    url_col: str = "url",
+    binary: bool = True,
+) -> DataFrame:
+    """The crawl's outgoing-link edge frame: one row per resolvable
+    ``<a href>`` — ``(url, href, dst_url, src_host, dst_host,
+    external)``.
+
+    Resolution rules (documented; anything else — mailto:, javascript:,
+    fragments, path-relative without a leading slash — is dropped):
+
+    - absolute ``http(s)://...`` kept as-is,
+    - protocol-relative ``//host/...`` gets the base URL's scheme,
+    - root-relative ``/path`` gets the base URL's scheme://authority.
+
+    Raw hrefs are entity-decoded per ``HTML_ENTITIES`` (attribute values
+    legally escape ``&`` as ``&amp;``). ``external`` compares
+    ``url_host`` of both ends.
+
+    Scale shape: extraction + resolution are one scan-stage projection
+    (regexp_extract_all -> explode -> column expressions; no Python, no
+    shuffle — roughly a 10-50x row expansion on real pages, so compose
+    the host-graph rollup, e.g. ``groupBy(src_host, dst_host).count()``,
+    BEFORE anything that would shuffle edge text). Heavy intermediates
+    (decoded href, base root) are bound to real columns in nested
+    selects so CollapseProject keeps each chain evaluated once (same
+    discipline as :func:`prepare_web_corpus`).
+
+    The driver gate ``outlinks_documents`` replays extraction AND
+    resolution op-for-op in DuckDB (RE2 vs Java regex) over an
+    adversarially built corpus (data-href traps, single-quoted hrefs,
+    mailto/nameless anchors, entity-escaped query strings).
+    """
+    from ddsketch_ruby_spark.functions.html import (
+        HTML_ENTITIES,
+        extract_links,
+    )
+    from ddsketch_ruby_spark.functions.url import url_host
+
+    u = F.col(url_col)
+    edges = df.select(
+        u.alias(url_col),
+        F.explode(extract_links(html_col, binary=binary)).alias(
+            "__href_raw"
+        ),
+    )
+    href = F.col("__href_raw")
+    for entity, ch in HTML_ENTITIES:
+        href = F.replace(href, F.lit(entity), F.lit(ch))
+    edges = edges.select(
+        url_col,
+        href.alias("href"),
+        F.regexp_extract(F.col(url_col), _BASE_ROOT_GRP, 1).alias(
+            "__base_root"
+        ),
+        F.regexp_extract(F.col(url_col), _BASE_SCHEME_GRP, 1).alias(
+            "__base_scheme"
+        ),
+    )
+    h = F.col("href")
+    dst = (
+        F.when(h.rlike(_ABS_HTTP_PAT), h)
+        .when(
+            F.substring(h, 1, 2) == "//",
+            F.concat(F.col("__base_scheme"), F.lit(":"), h),
+        )
+        .when(F.substring(h, 1, 1) == "/", F.concat(F.col("__base_root"), h))
+    )
+    edges = edges.select(url_col, "href", dst.alias("dst_url")).filter(
+        F.col("dst_url").isNotNull()
+    )
+    return edges.select(
+        url_col,
+        "href",
+        "dst_url",
+        url_host(F.col(url_col)).alias("src_host"),
+        url_host(F.col("dst_url")).alias("dst_host"),
+    ).withColumn("external", F.col("dst_host") != F.col("src_host"))
+
+
+def outlinks_resolve_sql(href_expr: str, url_expr: str) -> str:
+    """DuckDB expression replaying the ``outlinks`` resolution CASE
+    op-for-op (href must already be entity-decoded — replay the
+    ``HTML_ENTITIES`` replace chain first, as ``outlinks`` does)."""
+    from ddsketch_ruby_spark.functions.sqltext import sql_quote as q
+
+    root = f"regexp_extract(({url_expr}), {q(_BASE_ROOT_GRP)}, 1)"
+    scheme = f"regexp_extract(({url_expr}), {q(_BASE_SCHEME_GRP)}, 1)"
+    return (
+        f"CASE WHEN regexp_matches(({href_expr}), {q(_ABS_HTTP_PAT)})"
+        f" THEN ({href_expr})"
+        f" WHEN substr(({href_expr}), 1, 2) = '//'"
+        f" THEN {scheme} || ':' || ({href_expr})"
+        f" WHEN substr(({href_expr}), 1, 1) = '/'"
+        f" THEN {root} || ({href_expr})"
+        f" ELSE NULL END"
+    )

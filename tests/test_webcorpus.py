@@ -222,3 +222,162 @@ def test_latest_capture_partitioning_invariant(spark):
     b = latest_capture(multi.repartition(16), "url", "warc_ts").select("url", "warc_ts")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert a.count() == 400
+
+
+def test_extract_links_semantics(spark):
+    from ddsketch_ruby_spark.functions.html import extract_links
+
+    cases = [
+        (0, '<a href="https://x.com/a">t</a>'),
+        (1, '<a data-href="NOT">t</a>'),          # delimiter required
+        (2, "<a href='single'>no</a>"),           # double-quoted only
+        (3, '<A HREF="UPPER">t</A>'),             # case classes
+        (4, '<a\thref="tabbed">x</a>'),
+        (5, '<a href="first" href="second">x</a>'),  # last wins (probed)
+        (6, '<abbr href="NOT-AN-ANCHOR">x</abbr>'),
+        (7, '<a href="a">1</a> mid <a href="b">2</a>'),
+        (8, "no anchors"),
+    ]
+    df = spark.createDataFrame(cases, "i int, h string")
+    got = {
+        r["i"]: list(r["links"])
+        for r in df.select(
+            "i", extract_links(F.col("h"), binary=False).alias("links")
+        ).collect()
+    }
+    assert got == {
+        0: ["https://x.com/a"],
+        1: [],
+        2: [],
+        3: ["UPPER"],
+        4: ["tabbed"],
+        5: ["second"],
+        6: [],
+        7: ["a", "b"],
+        8: [],
+    }
+
+
+def test_outlinks_resolution(spark):
+    from ddsketch_ruby_spark.operators.webcorpus import outlinks
+
+    rows = [
+        (
+            "https://Host1.example.com/d/1",
+            '<a href="https://ext.example.org/p/1">x</a>'
+            '<a href="/local?a=1&amp;b=2">y</a>'
+            '<a href="//cdn.example.net/i.png">z</a>'
+            '<a href="mailto:u@example.org">drop</a>'
+            '<a href="rel/no-slash">drop</a>'
+            '<a href="#frag">drop</a>',
+        ),
+    ]
+    df = spark.createDataFrame(rows, "url string, page string")
+    got = {
+        r["href"]: r.asDict()
+        for r in outlinks(
+            df, html_col="page", url_col="url", binary=False
+        ).collect()
+    }
+    assert set(got) == {
+        "https://ext.example.org/p/1",
+        "/local?a=1&b=2",  # entity-decoded
+        "//cdn.example.net/i.png",
+    }
+    ext = got["https://ext.example.org/p/1"]
+    assert ext["dst_host"] == "ext.example.org" and ext["external"]
+    loc = got["/local?a=1&b=2"]
+    assert loc["dst_url"] == "https://Host1.example.com/local?a=1&b=2"
+    assert loc["dst_host"] == "host1.example.com" and not loc["external"]
+    cdn = got["//cdn.example.net/i.png"]
+    assert cdn["dst_url"] == "https://cdn.example.net/i.png"
+    assert cdn["external"]
+
+
+def test_outlinks_plan_scan_only(spark):
+    """Extraction + resolution stay one Exchange-free scan projection."""
+    from ddsketch_ruby_spark.operators.webcorpus import outlinks
+
+    df = spark.createDataFrame(
+        [("https://a.example.com/", b'<a href="/x">y</a>')],
+        "url string, html binary",
+    )
+    plan = (
+        outlinks(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_outlinks_duckdb_parity(spark):
+    """Fuzz the href grammar across both regex engines: random
+    attribute soup around anchors must extract and resolve identically
+    in Spark (Java regex) and DuckDB (RE2)."""
+    import random
+
+    import duckdb
+
+    from ddsketch_ruby_spark.functions.html import (
+        HTML_ENTITIES,
+        extract_links_sql,
+    )
+    from ddsketch_ruby_spark.functions.url import url_host_sql
+    from ddsketch_ruby_spark.operators.webcorpus import (
+        outlinks,
+        outlinks_resolve_sql,
+    )
+
+    rng = random.Random(7)
+    frag = ["<a ", "href=", '"', "/p", "?a=1", "&amp;b=2", "'", ">", "x",
+            "</a>", " ", "\t", "data-href=", "https://e.org/", "//c.net/",
+            "mailto:u@e.org", "name=", "<b>", "=", "#f"]
+    anchors = [
+        '<a href="https://e{}.org/p">x</a>',
+        '<a class="c" href="/l/{}?a=1&amp;b=2">y</a>',
+        '<a\thref="//c{}.net/i">z</a>',
+        '<a href="mailto:u{}@e.org">m</a>',
+    ]
+    pages = [
+        (
+            f"https://H{i}.example.com/d/{i}",
+            "".join(rng.choice(frag) for _ in range(rng.randint(3, 15)))
+            + rng.choice(anchors).format(i)
+            + "".join(rng.choice(frag) for _ in range(rng.randint(3, 15))),
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(pages, "url string, page string")
+    got = sorted(
+        (r["url"], r["href"], r["dst_url"], r["src_host"], r["dst_host"],
+         r["external"])
+        for r in outlinks(
+            df, html_col="page", url_col="url", binary=False
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pages(url VARCHAR, page VARCHAR)")
+    con.executemany("INSERT INTO pages VALUES (?, ?)", pages)
+    dec = "href_raw"
+    for entity, ch in HTML_ENTITIES:
+        rep = "chr(160)" if ch == " " else "'" + ch.replace("'", "''") + "'"
+        dec = f"replace({dec}, '{entity}', {rep})"
+    want = sorted(
+        tuple(r)
+        for r in con.execute(f"""
+            WITH links AS (
+              SELECT url,
+                unnest({extract_links_sql('page', binary=False)}) AS href_raw
+              FROM pages),
+            dec AS (SELECT url, {dec} AS href FROM links),
+            res AS (SELECT url, href,
+                      {outlinks_resolve_sql('href', 'url')} AS dst_url
+                    FROM dec),
+            hosts AS (SELECT url, href, dst_url,
+                        {url_host_sql('url')} AS src_host,
+                        {url_host_sql('dst_url')} AS dst_host
+                      FROM res WHERE dst_url IS NOT NULL)
+            SELECT url, href, dst_url, src_host, dst_host,
+                   (dst_host != src_host) AS external
+            FROM hosts
+        """).fetchall()
+    )
+    assert got == want and len(got) > 50
