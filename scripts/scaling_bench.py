@@ -22,7 +22,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ROWS = int(os.environ.get("SCALING_ROWS", "4000000"))
+# default = the recorded configuration (BENCH/scaling_latest.md); small
+# inputs measure per-job fixed costs, not scaling (see the webcorpus
+# bench header note).
+ROWS = int(os.environ.get("SCALING_ROWS", "64000000"))
 DATA = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".bench",

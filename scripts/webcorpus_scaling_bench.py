@@ -14,7 +14,7 @@ rollup (XOR of per-row hashes — partitioning-insensitive).
 Usage:
   python scripts/webcorpus_scaling_bench.py            # full report
   python scripts/webcorpus_scaling_bench.py --run 8    # child: one run
-Env: WEBCORPUS_ROWS (default 1000000), WEBCORPUS_CORES (default 2,8),
+Env: WEBCORPUS_ROWS (default 16000000), WEBCORPUS_CORES (default 2,8),
      WEBCORPUS_RUNS / WEBCORPUS_PASSES (default 2 each),
      WEBCORPUS_LEVELS (semicolon-separated level specs overriding
      WEBCORPUS_CORES; a spec is an int — local[n] via get_spark — or an
@@ -32,7 +32,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ROWS = int(os.environ.get("WEBCORPUS_ROWS", "1000000"))
+# default = the recorded configuration (BENCH/webcorpus_scaling_latest.md).
+# Inputs much below ~10M rows measure per-JOB fixed costs (plan compile,
+# stage scheduling, Python-worker startup: ~3-5 s), not scaling — a bare
+# 1M-row run reads ~0.70 for that reason alone (8-core wall 4.6 s).
+ROWS = int(os.environ.get("WEBCORPUS_ROWS", "16000000"))
 DATA = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".bench",
